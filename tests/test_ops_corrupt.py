@@ -1,0 +1,107 @@
+"""Corruption / augmentation pipeline tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from upp_tpu.ops import (gaussian_shell_noise, inverse_distance_interp, jitter,
+                         lidar_noise, normalize_unit_sphere, propagate,
+                         rotate_y, scale_translate, separate_point_cloud)
+
+
+def _cloud(B=2, N=2048, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal((B, N, 3)).astype(np.float32))
+
+
+def test_gaussian_shell_noise_radius():
+    key = jax.random.key(0)
+    g = gaussian_shell_noise(key, (4, 512, 3), loc=0.0, scale=0.1, shell_radius=0.9)
+    r = np.linalg.norm(np.asarray(g), axis=-1)
+    # shell: radii concentrate around shell_radius (displaced N(0, .1) radially)
+    assert 0.75 < r.mean() < 1.1
+    assert g.shape == (4, 512, 3)
+
+
+def test_lidar_noise_outward_scaling():
+    pts = _cloud(2, 128, 1)
+    noise = lidar_noise(jax.random.key(1), pts, number=16, scale=1.5, low=1.2)
+    assert noise.shape == (2, 16, 3)
+    rn = np.linalg.norm(np.asarray(noise), axis=-1)
+    rp = np.linalg.norm(np.asarray(pts), axis=-1)
+    assert rn.mean() > rp.mean()  # pushed outward
+
+
+def test_separate_point_cloud_static_and_disjoint():
+    pts = _cloud(2, 2048, 2)
+    partial, crop = separate_point_cloud(jax.random.key(2), pts, num_crop=512,
+                                         sample_points=256)
+    assert partial.shape == (2, 256, 3)
+    assert crop.shape == (2, 256, 3)
+    # partial and crop come from disjoint halves of the sorted cloud
+    p0 = {tuple(np.round(x, 5)) for x in np.asarray(partial)[0]}
+    c0 = {tuple(np.round(x, 5)) for x in np.asarray(crop)[0]}
+    assert not (p0 & c0)
+
+
+def test_separate_point_cloud_traced_num_crop():
+    """num_crop can be a traced scalar (pretask draws it per step)."""
+    pts = _cloud(1, 1024, 3)
+
+    @jax.jit
+    def run(key, nc):
+        return separate_point_cloud(key, pts, nc, sample_points=128)
+
+    p1, _ = run(jax.random.key(3), jnp.int32(256))
+    p2, _ = run(jax.random.key(3), jnp.int32(512))
+    assert p1.shape == p2.shape == (1, 128, 3)
+    assert not np.allclose(np.asarray(p1), np.asarray(p2))
+
+
+def test_scale_translate_bounds():
+    pts = _cloud(4, 64, 4)
+    out = scale_translate(jax.random.key(4), pts)
+    assert out.shape == pts.shape
+    assert not np.allclose(np.asarray(out), np.asarray(pts))
+
+
+def test_rotate_y_preserves_y_and_norm():
+    pts = _cloud(3, 128, 5)
+    out = rotate_y(jax.random.key(5), pts)
+    np.testing.assert_allclose(np.asarray(out)[..., 1], np.asarray(pts)[..., 1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1),
+                               np.linalg.norm(np.asarray(pts), axis=-1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_jitter_clipped():
+    pts = _cloud(1, 256, 6)
+    out = jitter(jax.random.key(6), pts, std=0.01, clip=0.03)
+    assert np.abs(np.asarray(out - pts)).max() <= 0.03 + 1e-6
+
+
+def test_normalize_unit_sphere():
+    pts = _cloud(2, 128, 7) * 5.0
+    out = normalize_unit_sphere(pts)
+    r = np.linalg.norm(np.asarray(out), axis=-1).max(axis=1)
+    np.testing.assert_allclose(r, 1.0, rtol=1e-5)
+
+
+def test_inverse_distance_interp_exact_at_sources():
+    """Interpolating onto the source points themselves ~ recovers the features
+    (nearest neighbour dominates the 1/(d+eps) weights)."""
+    xyz2 = _cloud(1, 32, 8)
+    feats = _cloud(1, 32, 9)
+    out = inverse_distance_interp(xyz2, xyz2, feats, k=4, eps=1e-8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feats), atol=1e-3)
+
+
+def test_propagate_residual():
+    xyz1, xyz2 = _cloud(1, 64, 10), _cloud(1, 16, 11)
+    p1, p2 = _cloud(1, 64, 12), _cloud(1, 16, 13)
+    out = propagate(xyz1, xyz2, p1, p2, de_neighbors=8, dist_e=1e-3)
+    assert out.shape == (1, 64, 3)
+    # residual form: out - p1 = 0.3 * interp
+    interp = inverse_distance_interp(xyz1, xyz2, p2, k=8, eps=1e-3)
+    np.testing.assert_allclose(np.asarray(out - p1), 0.3 * np.asarray(interp),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,109 @@
+"""Chamfer + EMD kernels: numpy oracles, finite-difference grads, and the
+golden-value EMD test ported from the reference
+(``extensions/emd/test_emd_loss.py``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.test_util import check_grads
+
+from upp_tpu.ops import (approx_match, chamfer_l1, chamfer_l2,
+                         chamfer_l2_split, earth_mover_distance, match_cost,
+                         nn_distance)
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def _chamfer_oracle(a, b):
+    d = ((a[:, :, None, :] - b[:, None, :, :]) ** 2).sum(-1)
+    return d.min(2), d.min(1)
+
+
+def test_nn_distance_matches_numpy():
+    a, b = _rand((2, 33, 3), 0), _rand((2, 47, 3), 1)
+    d1, i1, d2, i2 = nn_distance(jnp.asarray(a), jnp.asarray(b))
+    w1, w2 = _chamfer_oracle(a, b)
+    np.testing.assert_allclose(np.asarray(d1), w1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), w2, rtol=1e-4, atol=1e-5)
+
+
+def test_chamfer_reductions():
+    a, b = _rand((3, 20, 3), 2), _rand((3, 25, 3), 3)
+    w1, w2 = _chamfer_oracle(a, b)
+    l2 = float(chamfer_l2(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(l2, w1.mean() + w2.mean(), rtol=1e-4)
+    l1 = float(chamfer_l1(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(l1, (np.sqrt(w1).mean() + np.sqrt(w2).mean()) / 2, rtol=1e-4)
+    s1, s2 = chamfer_l2_split(jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(float(s1), w1.mean(), rtol=1e-4)
+    np.testing.assert_allclose(float(s2), w2.mean(), rtol=1e-4)
+
+
+def test_chamfer_masked_ignores_padding():
+    a = _rand((1, 16, 3), 4)
+    pad = np.concatenate([a, np.full((1, 8, 3), 7.0, np.float32)], axis=1)
+    valid = np.arange(24)[None, :] < 16
+    b = _rand((1, 20, 3), 5)
+    got = float(chamfer_l2(jnp.asarray(pad), jnp.asarray(b), valid1=jnp.asarray(valid)))
+    want = float(chamfer_l2(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_chamfer_grad_finite_difference():
+    """gradcheck analogue of extensions/chamfer_dist/test.py:23-28."""
+    a, b = _rand((1, 8, 3), 6), _rand((1, 11, 3), 7)
+    check_grads(lambda x, y: chamfer_l2(x, y), (jnp.asarray(a), jnp.asarray(b)),
+                order=1, modes=["rev"], atol=1e-2, rtol=1e-2)
+
+
+def test_emd_golden_two_point_matching():
+    """Golden test from extensions/emd/test_emd_loss.py: a 2-point cloud pair
+    whose optimal matching (and therefore approx EMD) is computable by hand."""
+    p1 = np.array([[[1.7, -0.1, 0.1], [0.1, 1.2, 0.3]]], np.float32).repeat(3, 0)
+    p2 = np.array([[[0.3, 1.8, 0.2], [1.2, -0.2, 0.3]]], np.float32).repeat(3, 0)
+    # optimal: p1[0] <-> p2[1], p1[1] <-> p2[0]
+    d_opt = (((p1[0, 0] - p2[0, 1]) ** 2).sum() + ((p1[0, 1] - p2[0, 0]) ** 2).sum())
+    cost = earth_mover_distance(jnp.asarray(p1), jnp.asarray(p2), reduce_mean=False)
+    # earth_mover_distance divides by n (=2)
+    np.testing.assert_allclose(np.asarray(cost), np.full(3, d_opt / 2), rtol=1e-3)
+
+
+def test_emd_golden_gradients():
+    p1 = jnp.asarray(np.array([[[1.7, -0.1, 0.1], [0.1, 1.2, 0.3]]], np.float32).repeat(3, 0))
+    p2 = jnp.asarray(np.array([[[0.3, 1.8, 0.2], [1.2, -0.2, 0.3]]], np.float32).repeat(3, 0))
+
+    def loss(a, b):
+        d = earth_mover_distance(a, b, reduce_mean=False)
+        return d[0] / 2 + d[1] * 2 + d[2] / 3
+
+    g1, g2 = jax.grad(loss, argnums=(0, 1))(p1, p2)
+    # analytic grads of the matched-pair squared distances (match ~ permutation)
+    w = np.array([0.5, 2.0, 1.0 / 3.0], np.float32) / 2.0  # /n
+    p1n, p2n = np.asarray(p1), np.asarray(p2)
+    want1 = np.stack([2 * (p1n[i] - p2n[i][::-1]) * w[i] for i in range(3)])
+    np.testing.assert_allclose(np.asarray(g1), want1, rtol=1e-2, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g2), -want1[:, ::-1], rtol=1e-2, atol=1e-3)
+
+
+def test_approx_match_is_doubly_stochastic_when_square():
+    a, b = _rand((2, 32, 3), 8), _rand((2, 32, 3), 9)
+    m = np.asarray(approx_match(jnp.asarray(a), jnp.asarray(b)))  # [B, m, n]
+    np.testing.assert_allclose(m.sum(1), 1.0, atol=2e-2)
+    np.testing.assert_allclose(m.sum(2), 1.0, atol=2e-2)
+
+
+def test_match_cost_custom_vjp_matches_formula():
+    a, b = _rand((1, 6, 3), 10), _rand((1, 6, 3), 11)
+    m = approx_match(jnp.asarray(a), jnp.asarray(b))
+
+    def cost(x, y):
+        return match_cost(x, y, m)[0]
+
+    g1, g2 = jax.grad(cost, argnums=(0, 1))(jnp.asarray(a), jnp.asarray(b))
+    mn = np.asarray(m)[0].T  # [n, m]
+    want1 = 2 * (a[0] * mn.sum(1, keepdims=True) - mn @ b[0])
+    want2 = 2 * (b[0] * mn.sum(0)[:, None] - mn.T @ a[0])
+    np.testing.assert_allclose(np.asarray(g1)[0], want1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2)[0], want2, rtol=1e-4, atol=1e-5)

@@ -1,0 +1,10 @@
+"""Model registry (reference ``models/build.py:4-15``)."""
+
+from ..utils.registry import Registry
+
+MODELS = Registry("models")
+
+
+def build_model_from_cfg(cfg, **kwargs):
+    """Construct a model definition from a config node with a NAME field."""
+    return MODELS.build(cfg, **kwargs)

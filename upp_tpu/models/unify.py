@@ -1,0 +1,269 @@
+"""UPP unified models: Point_MAE_unify (classification) and
+Point_MAE_pretask_dev (prompter pretraining).
+
+TPU-first re-design of ``models/Point_MAE_unify.py:390-655`` and
+``models/Point_MAE_pretask_dev.py:520-741``. Key differences from the torch
+reference:
+
+* Everything is fixed-shape. The reference's data-dependent steps — top-5%
+  noise drop via argsort (``Point_MAE_unify.py:556-559``), the
+  ``pts.shape[1] > point_num`` re-FPS branch (``:609``) — have static sizes
+  once the input shape is known, so every branch resolves at trace time.
+* The three backbone passes (rectify depth 3 → completion depth 6 →
+  downstream depth 12) run as three traces of one shared prompted block stack
+  with path-conditional parameters; XLA fuses each pass into one program.
+* All FPS/kNN/grouping/propagation run on-device (``upp_tpu.ops``) — the
+  reference round-trips to CUDA extensions per call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.fps import fps
+from ..ops.group import group_points
+from ..ops.knn import knn_points
+from ..ops.propagate import propagate
+from .blocks import (PrompterConfig, PromptedBlock, TransformerDecoderStack,
+                     TransformerEncoderStack)
+from .build import MODELS
+from .layers import Encoder, PosEmbedMLP, TwoLayerHead, kaiming_uniform_a5, trunc_normal_init
+from .prompter import RectifyPrompter
+
+
+class ClsHead(nn.Module):
+    """cls_head_finetune (``Point_MAE_unify.py:475-485``): 2x
+    [Linear → BN → ReLU → Dropout(.5)] → Linear(cls_dim)."""
+    cls_dim: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(2):
+            x = nn.Dense(256, kernel_init=kaiming_uniform_a5, name=f"lin{i}")(x)
+            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+                             epsilon=1e-5, name=f"bn{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5)(x, deterministic=deterministic)
+        return nn.Dense(self.cls_dim, kernel_init=kaiming_uniform_a5, name="lin2")(x)
+
+
+class _UnifyCore(nn.Module):
+    """Shared submodule bundle for the unify/pretask family."""
+    trans_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    encoder_dims: int = 384
+    drop_path_rate: float = 0.1
+    decoder_depth: int = 4
+    decoder_num_heads: int = 6
+    group_size: int = 32
+    num_group: int = 64
+    mask_ratio: float = 0.5
+    prompter: PrompterConfig = PrompterConfig()
+
+    @property
+    def vis_num(self) -> int:
+        # visible groups after masking (Point_MAE_unify.py:404)
+        return self.num_group - int(self.mask_ratio * self.num_group)
+
+    vis_short: int = 16
+
+    def setup(self):
+        self.encoder = Encoder(self.encoder_dims)
+        self.pos_embed = PosEmbedMLP(self.trans_dim)
+        self.blocks = TransformerEncoderStack(
+            embed_dim=self.trans_dim, depth=self.depth, num_heads=self.num_heads,
+            drop_path_rate=self.drop_path_rate, prompter=self.prompter)
+        self.norm = nn.LayerNorm()
+        self.shape_pred = TwoLayerHead(self.trans_dim // 2, self.vis_short)
+        self.coarse_pred = TwoLayerHead(
+            self.trans_dim, 3 * (self.num_group - self.vis_num))
+        self.predict_token_generator = TwoLayerHead(128, self.trans_dim)
+        self.decoder_pos_embed = PosEmbedMLP(self.trans_dim)
+        self.MAE_decoder = TransformerDecoderStack(
+            embed_dim=self.trans_dim, depth=self.decoder_depth,
+            num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate)
+        self.dense_pred = nn.Dense(3 * self.group_size, name="dense_pred_conv")
+        self.rectify_prompter = RectifyPrompter(hidden_dimension=self.trans_dim)
+        self.mask_token = self.param(
+            "mask_token", trunc_normal_init, (1, 1, self.trans_dim))
+
+    # --- rectify pass -----------------------------------------------------
+    def rectify_vectors(self, pts: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        """Rectify pass: 16-nn tokens over vis_num centers → 3 prompted blocks
+        → per-point rectification vector (``Point_MAE_unify.py:541-554``)."""
+        g = group_points(pts, self.vis_num, 16)
+        tokens = self.encoder(g.neighborhood, use_running_average=deterministic)
+        pos = self.pos_embed(g.center)
+        tokens = self.blocks(tokens, pos, path="rectify",
+                             deterministic=deterministic)
+        return self.rectify_prompter(pts, g.center, tokens,
+                                     deterministic=deterministic)
+
+    def denoise_pts(self, pts: jnp.ndarray, point_num: int,
+                    deterministic: bool) -> jnp.ndarray:
+        """Nudge points along the rectification vector and drop the noisiest
+        5% of ``point_num`` (``Point_MAE_unify.py:554-559``)."""
+        pred_vector = self.rectify_vectors(pts, deterministic)
+        score = jnp.linalg.norm(pred_vector, axis=-1)          # [B, P]
+        order = jnp.argsort(-score, axis=1)                    # descending
+        pts = pts + 0.2 * pred_vector
+        keep = int(point_num * 0.95)
+        keep_idx = order[:, -keep:]
+        return jnp.take_along_axis(pts, keep_idx[..., None], axis=1)
+
+    # --- completion pass --------------------------------------------------
+    def complete(self, pts: jnp.ndarray, deterministic: bool
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Completion pass (``Point_MAE_unify.py:572-610``): 6 prompted blocks
+        → coarse missing centers → propagated mask tokens → 4-block decoder →
+        dense rebuild. Returns (predict_center [B,M,3], rebuild [B,M*S,3])."""
+        g = group_points(pts, self.vis_num, 16)
+        x_vis = self.encoder(g.neighborhood, use_running_average=deterministic)
+        pos = self.pos_embed(g.center)
+        x_vis = self.blocks(x_vis, pos, path="pretask",
+                            deterministic=deterministic)
+        x_vis = self.norm(x_vis)
+
+        B = pts.shape[0]
+        pos_emd_vis = self.decoder_pos_embed(g.center)
+        shape_feature = self.shape_pred(x_vis).reshape(B, self.vis_short * self.vis_num)
+        predict_center = self.coarse_pred(shape_feature).reshape(
+            B, self.num_group - self.vis_num, 3)
+        predict_token = self.predict_token_generator(x_vis)
+        pos_emd_mask = self.decoder_pos_embed(predict_center)
+        n_mask = predict_center.shape[1]
+        mask_token = jnp.broadcast_to(self.mask_token,
+                                      (B, n_mask, self.trans_dim))
+        mask_token = propagate(predict_center, g.center, mask_token,
+                               predict_token, de_neighbors=6)
+        x_full = jnp.concatenate([x_vis, mask_token], axis=1)
+        pos_full = jnp.concatenate([pos_emd_vis, pos_emd_mask], axis=1)
+        x_rec = self.MAE_decoder(x_full, pos_full, n_mask,
+                                 deterministic=deterministic)
+        rel = self.dense_pred(x_rec).reshape(B, n_mask, self.group_size, 3)
+        rebuild = (rel + predict_center[:, :, None, :]).reshape(B, -1, 3)
+        return predict_center, rebuild
+
+
+@MODELS.register_module("Point_MAE_unify")
+class PointMAEUnify(nn.Module):
+    """UPP classification model (``models/Point_MAE_unify.py:390-655``)."""
+    config: Any  # ConfigDict model node
+
+    def setup(self):
+        cfg = self.config
+        tc = cfg.transformer_config
+        self.core = _UnifyCore(
+            trans_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
+            encoder_dims=tc.encoder_dims, drop_path_rate=tc.drop_path_rate,
+            decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
+            group_size=cfg.group_size, num_group=cfg.num_group,
+            mask_ratio=tc.mask_ratio,
+            prompter=PrompterConfig.from_cfg(cfg.prompter_config))
+        self.cls_token = self.param("cls_token", trunc_normal_init,
+                                    (1, 1, tc.trans_dim))
+        self.cls_pos = self.param("cls_pos", trunc_normal_init,
+                                  (1, 1, tc.trans_dim))
+        self.cls_head_finetune = ClsHead(cfg.cls_dim)
+        self.prompt_propagation_after = bool(cfg.get("prompt_propagation_after", False))
+
+    def __call__(self, pts, *, completion_prompt: bool = False,
+                 denoise: bool = False, point_num: int = 1024,
+                 deterministic: bool = True):
+        core = self.core
+        cfg = self.config
+
+        if denoise:
+            pts = core.denoise_pts(pts, point_num, deterministic)
+
+        if completion_prompt:
+            _, rebuild = core.complete(pts, deterministic)
+            sample_rebuild, _ = fps(rebuild, point_num // 4)
+            pts = jnp.concatenate([pts, sample_rebuild], axis=1)
+            if pts.shape[1] > point_num:
+                pts, _ = fps(pts, point_num)
+
+        g = group_points(pts, cfg.num_group, cfg.group_size)
+        tokens = core.encoder(g.neighborhood, use_running_average=deterministic)
+        B = tokens.shape[0]
+        cls_tok = jnp.broadcast_to(self.cls_token, (B, 1, core.trans_dim))
+        cls_pos = jnp.broadcast_to(self.cls_pos, (B, 1, core.trans_dim))
+        pos = jnp.concatenate([cls_pos, core.pos_embed(g.center)], axis=1)
+        x = jnp.concatenate([cls_tok, tokens], axis=1)
+
+        propagation = None
+        if self.prompt_propagation_after:
+            lvl2 = group_points(g.center, cfg.num_group // 2, 8)
+            propagation = {"center1": g.center, "center1_idx": lvl2.idx,
+                           "center2": lvl2.center, "center2_idx": lvl2.center_idx}
+
+        x = core.blocks(x, pos, path="downstream", classification=True,
+                        propagation=propagation, deterministic=deterministic)
+        x = core.norm(x)
+        concat_f = jnp.concatenate([x[:, 0], jnp.max(x[:, 1:], axis=1)], axis=-1)
+        return self.cls_head_finetune(concat_f, deterministic=deterministic)
+
+
+@MODELS.register_module("Point_MAE_pretask_dev")
+class PointMAEPretask(nn.Module):
+    """Prompter pretraining model (``models/Point_MAE_pretask_dev.py:520-741``).
+
+    Train mode (train_with_gaussian): the rectify branch is supervised by K=4
+    clean-neighbour displacement vectors of the injected noise points; the
+    noisiest P-point_num points are dropped (stop-gradient) before the
+    completion branch. Returns (predict_center, rebuild, noise_loss, recall).
+    Eval mode returns (predict_center, rebuild).
+    """
+    config: Any
+
+    def setup(self):
+        cfg = self.config
+        tc = cfg.transformer_config
+        self.core = _UnifyCore(
+            trans_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
+            encoder_dims=tc.encoder_dims, drop_path_rate=tc.drop_path_rate,
+            decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
+            group_size=cfg.group_size, num_group=cfg.num_group,
+            mask_ratio=tc.mask_ratio,
+            prompter=PrompterConfig.from_cfg(cfg.prompter_config))
+
+    def __call__(self, pts, *, point_num: int = 2048,
+                 train_with_gaussian: bool = True, deterministic: bool = True):
+        core = self.core
+        aux: Dict[str, jnp.ndarray] = {}
+
+        if train_with_gaussian and not deterministic:
+            B, P, _ = pts.shape
+            pred_vector = core.rectify_vectors(pts, deterministic)
+            gaussian_noise = pts[:, point_num:]
+            partial_pts = pts[:, :point_num]
+            pred_pure = pred_vector[:, :point_num]
+            pred_gauss = pred_vector[:, point_num:]
+            # supervision: mean displacement to K=4 nearest clean points
+            # (Point_MAE_pretask_dev.py:680-689)
+            _, _, clean_nn = knn_points(gaussian_noise, partial_pts, 4)
+            noise_vector = jnp.mean(clean_nn - gaussian_noise[:, :, None, :], axis=-2)
+            positive = jnp.mean(jnp.sum((pred_gauss - noise_vector) ** 2, axis=-1))
+            negative = jnp.mean(jnp.sum(pred_pure ** 2, axis=-1))
+            noise_loss = positive + negative
+
+            score = jnp.linalg.norm(pred_vector, axis=-1)
+            order = jnp.argsort(-score, axis=1)
+            n_drop = P - point_num
+            recall = jnp.mean(
+                jnp.sum((order[:, :n_drop] >= point_num).astype(jnp.float32),
+                        axis=-1) / n_drop)
+            keep_idx = order[:, n_drop:]
+            pts = jax.lax.stop_gradient(
+                jnp.take_along_axis(pts, keep_idx[..., None], axis=1))
+            aux = {"noise_loss": noise_loss, "recall": recall}
+
+        predict_center, rebuild = core.complete(pts, deterministic)
+        if aux:
+            return predict_center, rebuild, aux["noise_loss"], aux["recall"]
+        return predict_center, rebuild

@@ -1,0 +1,130 @@
+"""On-device corruption + augmentation pipeline.
+
+The reference runs these stages on the *host* with per-sample Python loops and
+numpy RNG (``utils/misc.py:28-46,205-256``, ``datasets/data_transforms.py``,
+``tools/runner_module.py:127-186``) — the #1 throughput sink. Here every stage
+is a pure jittable function over ``jax.random`` keys, so crop → noise →
+augment fuses into the train step and the host only streams raw clouds.
+
+Variable-size crops become *static-shape masked* ops: points are sorted by
+distance to a random viewpoint, the crop/partial split is a positional mask,
+and masked FPS (see ``ops.fps``) resamples each side to a fixed size.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .fps import fps
+
+
+def gaussian_shell_noise(key: jax.Array, shape: Tuple[int, ...], loc: float = 0.0,
+                         scale: float = 0.2, shell_radius: float = 0.9) -> jnp.ndarray:
+    """Shell noise imitating depth-camera outliers (``utils/misc.py:28-36``):
+    N(loc, scale) samples displaced radially outward to ``shell_radius``."""
+    g = loc + scale * jax.random.normal(key, shape, jnp.float32)
+    direction = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+    return g + direction * shell_radius
+
+
+def lidar_noise(key: jax.Array, points: jnp.ndarray, number: int = 64,
+                scale: float = 1.3, low: float = 1.02) -> jnp.ndarray:
+    """Lidar-style outliers: random existing points pushed radially outward by
+    U(low, scale) (``utils/misc.py:38-46``). Like the reference, the chosen
+    indices and factors are shared across the batch (one draw per step)."""
+    k1, k2 = jax.random.split(key)
+    idx = jax.random.randint(k1, (number,), 0, points.shape[1])
+    factor = jax.random.uniform(k2, (number,), jnp.float32, low, scale)
+    return points[:, idx, :] * factor[None, :, None]
+
+
+def _viewpoint_split(key: jax.Array, points: jnp.ndarray,
+                     fixed_viewpoint: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Sort one cloud's points by distance to a (random) unit viewpoint.
+    Returns the ascending-order permutation [N]."""
+    if fixed_viewpoint is None:
+        v = jax.random.normal(key, (3,), jnp.float32)
+        v = v / jnp.linalg.norm(v)
+    else:
+        v = fixed_viewpoint
+    d = jnp.sum((points - v[None, :]) ** 2, axis=-1)
+    return jnp.argsort(d)
+
+
+@partial(jax.jit, static_argnames=("sample_points",))
+def separate_point_cloud(key: jax.Array, xyz: jnp.ndarray, num_crop,
+                         sample_points: int = 1024,
+                         fixed_viewpoint: Optional[jnp.ndarray] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Viewpoint crop → (partial, crop), both FPS-resampled to ``sample_points``.
+
+    Static-shape reimplementation of ``misc.seprate_point_cloud``
+    (``utils/misc.py:205-256``): per-sample random unit viewpoint, points
+    sorted by distance to it, nearest ``num_crop`` removed as the "crop"
+    (missing region), the rest kept as the "partial" cloud. ``num_crop`` may be
+    a traced scalar (the pretask runner draws it per step), handled by masked
+    FPS instead of dynamic shapes. Callers must ensure
+    num_crop >= sample_points and N - num_crop >= sample_points.
+
+    Returns (partial [B, sample_points, 3], crop [B, sample_points, 3]).
+    """
+    B, N, _ = xyz.shape
+    keys = jax.random.split(key, B)
+    order = jax.vmap(lambda k, p: _viewpoint_split(k, p, fixed_viewpoint))(keys, xyz)
+    sorted_pts = jnp.take_along_axis(xyz, order[..., None], axis=1)   # [B, N, 3]
+    pos = jnp.arange(N)[None, :]
+    partial_valid = pos >= num_crop        # farthest N - num_crop points
+    crop_valid = pos < num_crop
+    partial, _ = fps(sorted_pts, sample_points, valid=partial_valid)
+    crop, _ = fps(sorted_pts, sample_points, valid=crop_valid)
+    return partial, crop
+
+
+def scale_translate(key: jax.Array, pc: jnp.ndarray,
+                    scale_low: float = 2.0 / 3.0, scale_high: float = 3.0 / 2.0,
+                    translate_range: float = 0.2) -> jnp.ndarray:
+    """Per-sample anisotropic scale + translate
+    (``datasets/data_transforms.py:54-68``)."""
+    B = pc.shape[0]
+    k1, k2 = jax.random.split(key)
+    s = jax.random.uniform(k1, (B, 1, 3), jnp.float32, scale_low, scale_high)
+    t = jax.random.uniform(k2, (B, 1, 3), jnp.float32, -translate_range, translate_range)
+    return pc * s + t
+
+
+def rotate_y(key: jax.Array, pc: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample rotation about the y axis by U(-pi, pi)
+    (``datasets/data_transforms.py:7-51`` with angle=[0, 1, 0]; the x/z bounds
+    are zero so only the y rotation is non-identity)."""
+    B = pc.shape[0]
+    theta = jax.random.uniform(key, (B,), jnp.float32, -jnp.pi, jnp.pi)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    zeros, ones = jnp.zeros_like(c), jnp.ones_like(c)
+    # rotation about y: R = [[c,0,s],[0,1,0],[-s,0,c]]; applied as pc @ R.T
+    rt = jnp.stack([jnp.stack([c, zeros, -s], -1),
+                    jnp.stack([zeros, ones, zeros], -1),
+                    jnp.stack([s, zeros, c], -1)], axis=-2)        # [B, 3, 3] = R.T
+    return jnp.einsum("bnc,bcd->bnd", pc, rt, precision=jax.lax.Precision.HIGHEST)
+
+
+def jitter(key: jax.Array, pc: jnp.ndarray, std: float = 0.01,
+           clip: float = 0.03) -> jnp.ndarray:
+    """Clipped gaussian jitter (``datasets/data_transforms.py:71-82``)."""
+    noise = jnp.clip(std * jax.random.normal(key, pc.shape, jnp.float32), -clip, clip)
+    return pc + noise
+
+
+def normalize_unit_sphere(pc: jnp.ndarray, recenter: bool = False) -> jnp.ndarray:
+    """Scale each cloud into the unit sphere
+    (``datasets/data_transforms.py:163-182``; the shipped default keeps the
+    center at the origin and only rescales)."""
+    if recenter:
+        p_max = jnp.max(pc, axis=1, keepdims=True)
+        p_min = jnp.min(pc, axis=1, keepdims=True)
+        pc = pc - (p_max + p_min) / 2.0
+    scale = jnp.max(jnp.linalg.norm(pc, axis=-1, keepdims=True), axis=1, keepdims=True)
+    return pc / scale

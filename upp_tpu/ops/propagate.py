@@ -1,0 +1,48 @@
+"""Inverse-distance-weighted feature propagation (upsampling).
+
+Replaces the reference's ``propagate`` (``models/Point_MAE_unify.py:22-48``)
+and the interpolation core of ``PointNetFeaturePropagation``
+(``Point_MAE_unify.py:351-387``). The neighbour search reuses the MXU-friendly
+pairwise-distance + top_k pattern instead of a full sort.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .geometry import square_distance, index_points
+
+
+@partial(jax.jit, static_argnames=("k",))
+def inverse_distance_interp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
+                            feats2: jnp.ndarray, k: int = 16,
+                            eps: float = 1e-4) -> jnp.ndarray:
+    """Interpolate features from sparse points xyz2 onto dense points xyz1.
+
+    Args:
+      xyz1:   [B, N, 3] target positions.
+      xyz2:   [B, S, 3] source positions.
+      feats2: [B, S, D] source features.
+      k:      neighbours to blend (reference uses 6/8/16 depending on caller).
+      eps:    distance regulariser (1e-8 / 1e-3 / 1e-4 across call sites).
+    Returns:
+      [B, N, D] interpolated features.
+    """
+    d = square_distance(xyz1, xyz2)                     # [B, N, S]
+    kk = min(k, xyz2.shape[1])
+    neg, idx = jax.lax.top_k(-d, kk)                    # ascending distances
+    w = 1.0 / ((-neg) + eps)                            # [B, N, k]
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    gathered = index_points(feats2, idx)                # [B, N, k, D]
+    return jnp.sum(gathered * w[..., None], axis=2)
+
+
+def propagate(xyz1, xyz2, points1, points2, de_neighbors: int = 64,
+              dist_e: float = 1e-8):
+    """Residual propagation: points1 + 0.3 * interp(points2)
+    (``models/Point_MAE_unify.py:22-48``)."""
+    interp = inverse_distance_interp(xyz1, xyz2, points2, k=de_neighbors, eps=dist_e)
+    return points1 + 0.3 * interp

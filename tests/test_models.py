@@ -1,0 +1,168 @@
+"""Model zoo: init + forward shape/finite checks for every registered model,
+plus prompt-path behaviour of the prompted block stack."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from upp_tpu.models import MODELS, build_model_from_cfg
+from upp_tpu.utils.config import ConfigDict
+
+
+def small_model_cfg(name="Point_MAE_unify", cls_dim=5, num_group=16, group_size=8,
+                    with_downstream=True):
+    prompter = {
+        "rectify_adapter": True, "rectify_prompts": True,
+        "rectify_prompts_num": 2, "rectify_prompts_depth": 2, "rectify_depth": 2,
+        "pretask_adapter": True, "pretask_prompts": True,
+        "pretask_prompts_num": 2, "pretask_prompts_depth": 3, "pretask_depth": 3,
+    }
+    if with_downstream:
+        prompter.update({
+            "downstream_adapter": True, "downstream_prompts": True,
+            "downstream_prompts_num": 3, "downstream_prompts_depth": 2,
+            "downstream_depth": 4,
+        })
+    return ConfigDict.from_nested({
+        "NAME": name,
+        "transformer_config": {
+            "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 48,
+            "encoder_dims": 48, "depth": 4, "drop_path_rate": 0.1,
+            "num_heads": 4, "decoder_depth": 2, "decoder_num_heads": 4,
+        },
+        "trans_dim": 48, "depth": 4, "drop_path_rate": 0.1, "cls_dim": cls_dim,
+        "num_heads": 4, "group_size": group_size, "num_group": num_group,
+        "encoder_dims": 48, "loss": "cdl2",
+        "prompter_config": prompter,
+        "gather_idx": False, "prompt_propagation_after": True,
+    })
+
+
+RNGS = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+        "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+
+
+def _pts(B=2, N=256, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).standard_normal((B, N, 3)).astype(np.float32))
+
+
+def test_point_transformer_forward():
+    cfg = small_model_cfg("PointTransformer")
+    model = build_model_from_cfg(cfg)
+    pts = _pts()
+    variables = model.init(RNGS, pts, deterministic=True)
+    logits = model.apply(variables, pts, deterministic=True)
+    assert logits.shape == (2, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+    # train mode (BN batch stats mutable, dropout active)
+    logits2, mutated = model.apply(variables, pts, deterministic=False,
+                                   rngs=RNGS, mutable=["batch_stats"])
+    assert logits2.shape == (2, 5)
+    assert "batch_stats" in mutated
+
+
+def test_unify_eval_path_plain_backbone():
+    cfg = small_model_cfg()
+    model = build_model_from_cfg(cfg)
+    pts = _pts(2, 160)
+    # init with ALL paths on so every param materialises
+    variables = model.init(RNGS, _pts(2, 176, 1), completion_prompt=True,
+                           denoise=True, point_num=160, deterministic=True)
+    logits = model.apply(variables, pts, deterministic=True)
+    assert logits.shape == (2, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_unify_noisy_train_path_shapes():
+    cfg = small_model_cfg()
+    model = build_model_from_cfg(cfg)
+    point_num = 160
+    pts = _pts(2, point_num + 16, 2)   # points + injected noise
+    variables = model.init(RNGS, pts, completion_prompt=True, denoise=True,
+                           point_num=point_num, deterministic=True)
+    logits, mutated = model.apply(
+        variables, pts, completion_prompt=True, denoise=True,
+        point_num=point_num, deterministic=False, rngs=RNGS,
+        mutable=["batch_stats"])
+    assert logits.shape == (2, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_unify_params_contain_all_paths():
+    cfg = small_model_cfg()
+    model = build_model_from_cfg(cfg)
+    variables = model.init(RNGS, _pts(2, 176, 1), completion_prompt=True,
+                           denoise=True, point_num=160, deterministic=True)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    joined = " ".join(names)
+    for needle in ["rectify_prompts", "pretask_prompts", "downstream_prompts",
+                   "rectify_adapter", "pretask_adapter", "downstream_adapter",
+                   "rectify_prompter", "mask_token", "cls_token",
+                   "cls_head_finetune"]:
+        assert needle in joined, f"missing {needle}"
+    # all 4 backbone blocks materialised despite truncated paths
+    for i in range(4):
+        assert f"block{i}" in joined
+
+
+def test_pretask_model_train_and_eval():
+    cfg = small_model_cfg("Point_MAE_pretask_dev", with_downstream=False)
+    model = build_model_from_cfg(cfg)
+    point_num = 128
+    pts = _pts(2, point_num + 20, 3)
+    variables = model.init(RNGS, pts, point_num=point_num,
+                           train_with_gaussian=True, deterministic=False)
+    out, _ = model.apply(variables, pts, point_num=point_num,
+                         train_with_gaussian=True, deterministic=False,
+                         rngs=RNGS, mutable=["batch_stats"])
+    predict_center, rebuild, noise_loss, recall = out
+    assert predict_center.shape == (2, 8, 3)       # num_group - vis_num
+    assert rebuild.shape == (2, 8 * cfg.group_size, 3)
+    assert np.isfinite(float(noise_loss))
+    assert 0.0 <= float(recall) <= 1.0
+    # eval: no rectify branch
+    pc, rb = model.apply(variables, pts, point_num=point_num,
+                         train_with_gaussian=False, deterministic=True)
+    assert pc.shape == (2, 8, 3)
+
+
+def test_point_mae_pretraining_loss():
+    cfg = small_model_cfg("Point_MAE", with_downstream=False)
+    model = build_model_from_cfg(cfg)
+    pts = _pts(2, 256, 4)
+    variables = model.init(RNGS, pts, deterministic=False)
+    loss, _ = model.apply(variables, pts, deterministic=False, rngs=RNGS,
+                          mutable=["batch_stats"])
+    assert np.isfinite(float(loss))
+    feats = model.apply(variables, pts, eval_features=True, deterministic=True)
+    assert feats.shape == (2, 48)
+
+
+def test_unify_seg_forward():
+    cfg = small_model_cfg("Point_MAE_unify_seg", cls_dim=50)
+    cfg.prompt_propagation_after = False
+    model = build_model_from_cfg(cfg)
+    point_num = 160
+    pts = _pts(2, point_num + 16, 5)
+    label_points = _pts(2, 300, 6)
+    one_hot = jnp.zeros((2, 16)).at[:, 3].set(1.0)
+    variables = model.init(RNGS, pts, one_hot, label_points,
+                           completion_prompt=True, denoise=True,
+                           point_num=point_num, deterministic=True)
+    logp = model.apply(variables, pts, one_hot, label_points,
+                       completion_prompt=True, denoise=True,
+                       point_num=point_num, deterministic=True)
+    assert logp.shape == (2, 300, 50)
+    np.testing.assert_allclose(np.exp(np.asarray(logp)).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_point_transformer_seg_forward():
+    cfg = small_model_cfg("PointTransformer_seg", cls_dim=50, with_downstream=False)
+    model = build_model_from_cfg(cfg)
+    pts = _pts(2, 256, 7)
+    one_hot = jnp.zeros((2, 16)).at[:, 0].set(1.0)
+    variables = model.init(RNGS, pts, one_hot, deterministic=True)
+    logp = model.apply(variables, pts, one_hot, deterministic=True)
+    assert logp.shape == (2, 256, 50)

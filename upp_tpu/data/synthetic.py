@@ -1,0 +1,77 @@
+"""Synthetic procedural point-cloud dataset.
+
+Not in the reference — added for hermetic tests, smoke training, and
+benchmarking without dataset downloads (the reference's registry pattern makes
+this drop-in; SURVEY.md §4d). Each class is a distinct parametric surface
+(sphere, cube shell, cylinder, torus, cone, ...) with deterministic per-index
+sampling, so a model can genuinely learn to separate the classes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .build import DATASETS
+
+
+def _sphere(rng, n):
+    v = rng.standard_normal((n, 3))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _cube(rng, n):
+    pts = rng.uniform(-1, 1, (n, 3))
+    face = rng.integers(0, 3, n)
+    sign = rng.choice([-1.0, 1.0], n)
+    pts[np.arange(n), face] = sign
+    return pts
+
+
+def _cylinder(rng, n):
+    theta = rng.uniform(0, 2 * np.pi, n)
+    z = rng.uniform(-1, 1, n)
+    return np.stack([np.cos(theta), np.sin(theta), z], 1)
+
+
+def _torus(rng, n, R=0.7, r=0.3):
+    u = rng.uniform(0, 2 * np.pi, n)
+    v = rng.uniform(0, 2 * np.pi, n)
+    return np.stack([(R + r * np.cos(v)) * np.cos(u),
+                     (R + r * np.cos(v)) * np.sin(u),
+                     r * np.sin(v)], 1)
+
+
+def _cone(rng, n):
+    h = rng.uniform(0, 1, n)
+    theta = rng.uniform(0, 2 * np.pi, n)
+    r = 1.0 - h
+    return np.stack([r * np.cos(theta), r * np.sin(theta), h * 2 - 1], 1)
+
+
+def _plane(rng, n):
+    xy = rng.uniform(-1, 1, (n, 2))
+    return np.concatenate([xy, 0.05 * rng.standard_normal((n, 1))], 1)
+
+
+_GENERATORS = [_sphere, _cube, _cylinder, _torus, _cone, _plane]
+
+
+@DATASETS.register_module("Synthetic")
+class SyntheticDataset:
+    """config fields: N_POINTS, NUM_CATEGORY (≤ 6), SIZE, subset, seed."""
+
+    def __init__(self, config):
+        self.npoints = config.N_POINTS
+        self.num_category = min(int(config.get("NUM_CATEGORY", 6)), len(_GENERATORS))
+        self.size = int(config.get("SIZE", 256))
+        self.subset = config.get("subset", "train")
+        self.seed = int(config.get("seed", 0)) + (0 if self.subset == "train" else 10_000)
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        label = index % self.num_category
+        rng = np.random.default_rng(self.seed * 1_000_003 + index)
+        pts = _GENERATORS[label](rng, self.npoints).astype(np.float32)
+        pts /= np.max(np.linalg.norm(pts, axis=1))   # unit sphere
+        return "Synthetic", f"sample{index}", (pts, label)

@@ -19,6 +19,7 @@ from ..ops.chamfer import chamfer_l1, chamfer_l2
 from ..ops.group import group_points
 from .blocks import PrompterConfig, TransformerEncoderStack, TransformerDecoderStack
 from .build import MODELS
+from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP, trunc_normal_init
 
 
@@ -30,7 +31,7 @@ class PointMAE(nn.Module):
     config: Any
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         tc = cfg.transformer_config
         self.trans_dim = tc.trans_dim
         self.num_group = cfg.num_group
@@ -106,7 +107,7 @@ class PointTransformer(nn.Module):
     config: Any
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         self.trans_dim = cfg.trans_dim
         self.encoder = Encoder(cfg.encoder_dims)
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)

@@ -187,19 +187,19 @@ class PromptedBlock(nn.Module):
 class TransformerEncoderStack(nn.Module):
     """Depth-truncating encoder (``Point_MAE_pretask_dev.py:324-349``):
     rectify runs blocks [0, rectify_depth), pretask [0, pretask_depth),
-    downstream all of them. ``feature_blocks`` additionally returns the
-    intermediate features after those block indices (segmentation taps
-    {3, 7, 11}, ``Point_MAE_unify_segment.py:202-236``)."""
+    downstream all of them. ``feature_blocks`` (call-time) additionally
+    returns the intermediate features after those block indices (segmentation
+    taps {3, 7, 11}, ``Point_MAE_unify_segment.py:202-236``)."""
     embed_dim: int
     depth: int
     num_heads: int
     drop_path_rate: float = 0.0
     prompter: PrompterConfig = PrompterConfig()
-    feature_blocks: tuple = ()
 
     @nn.compact
     def __call__(self, x, pos, *, path: str, classification: bool = False,
-                 propagation=None, deterministic: bool = True):
+                 propagation=None, deterministic: bool = True,
+                 feature_blocks: tuple = ()):
         p = self.prompter
         run_depth = {"rectify": p.rectify_depth or self.depth,
                      "pretask": p.pretask_depth or self.depth}.get(path, self.depth)
@@ -218,9 +218,9 @@ class TransformerEncoderStack(nn.Module):
                               block_idx=i, prompter=p, name=f"block{i}")(
                 x + pos, path=path, classification=classification,
                 propagation=propagation, deterministic=deterministic)
-            if i in self.feature_blocks:
+            if i in feature_blocks:
                 feats.append(x)
-        if self.feature_blocks:
+        if feature_blocks:
             return x, feats
         return x
 

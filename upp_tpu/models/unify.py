@@ -31,6 +31,7 @@ from ..ops.propagate import propagate
 from .blocks import (PrompterConfig, PromptedBlock, TransformerDecoderStack,
                      TransformerEncoderStack)
 from .build import MODELS
+from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP, TwoLayerHead, kaiming_uniform_a5, trunc_normal_init
 from .prompter import RectifyPrompter
 
@@ -156,7 +157,7 @@ class PointMAEUnify(nn.Module):
     config: Any  # ConfigDict model node
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         tc = cfg.transformer_config
         self.core = _UnifyCore(
             trans_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
@@ -176,7 +177,7 @@ class PointMAEUnify(nn.Module):
                  denoise: bool = False, point_num: int = 1024,
                  deterministic: bool = True):
         core = self.core
-        cfg = self.config
+        cfg = to_config(self.config)
 
         if denoise:
             pts = core.denoise_pts(pts, point_num, deterministic)
@@ -222,7 +223,7 @@ class PointMAEPretask(nn.Module):
     config: Any
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         tc = cfg.transformer_config
         self.core = _UnifyCore(
             trans_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,

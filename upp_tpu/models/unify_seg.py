@@ -21,6 +21,7 @@ from ..ops.fps import fps
 from ..ops.group import group_points
 from .blocks import PrompterConfig, TransformerEncoderStack
 from .build import MODELS
+from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP
 from .prompter import PointNetFeaturePropagation
 from .unify import _UnifyCore
@@ -78,7 +79,7 @@ class PointMAEUnifySeg(nn.Module):
     config: Any
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         tc = cfg.transformer_config
         # NOTE: the seg front-end keeps 64-group completion geometry even when
         # num_group=128 downstream (vis_num is hardcoded 64-based at
@@ -91,11 +92,6 @@ class PointMAEUnifySeg(nn.Module):
             prompter=PrompterConfig.from_cfg(cfg.prompter_config))
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
-        self.blocks_seg = TransformerEncoderStack(
-            embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
-            drop_path_rate=tc.drop_path_rate,
-            prompter=PrompterConfig.from_cfg(cfg.prompter_config),
-            feature_blocks=(3, 7, 11), name="blocks")
         self.label_conv = LabelConv()
         self.propagation_0 = PointNetFeaturePropagation(
             mlp=(384 * 4, 1024), interpolate_neighbors=3)
@@ -131,12 +127,12 @@ class PointMAEUnifySeg(nn.Module):
             propagation = {"center1": g.center, "center1_idx": lvl2.idx,
                            "center2": lvl2.center, "center2_idx": lvl2.center_idx}
 
-        # NOTE: a second stack instance shares NO params with core.blocks in
-        # flax unless tied; the reference uses ONE block stack. We therefore
-        # run core.blocks with feature taps via the seg-specific wrapper:
-        x, taps = self.blocks_seg(tokens, pos, path="downstream",
-                                  propagation=propagation,
-                                  deterministic=deterministic)
+        # one shared block stack for all passes (as in the reference); the
+        # downstream pass taps features after blocks {3, 7, 11}
+        x, taps = core.blocks(tokens, pos, path="downstream",
+                              propagation=propagation,
+                              deterministic=deterministic,
+                              feature_blocks=(3, 7, 11))
         label_emb = self.label_conv(cls_label, deterministic=deterministic)
         x, glob = _seg_features(taps, label_emb, N)
         f0 = self.propagation_0(query, g.center, query, x,
@@ -153,12 +149,12 @@ class PointTransformerSeg(nn.Module):
     config: Any
 
     def setup(self):
-        cfg = self.config
+        cfg = to_config(self.config)
         self.encoder = Encoder(cfg.encoder_dims)
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
         self.blocks = TransformerEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate, feature_blocks=(3, 7, 11))
+            drop_path_rate=cfg.drop_path_rate)
         self.label_conv = LabelConv()
         self.propagation_0 = PointNetFeaturePropagation(
             mlp=(384 * 4, 1024), interpolate_neighbors=5)
@@ -173,7 +169,8 @@ class PointTransformerSeg(nn.Module):
         g = group_points(pts, self.num_group, self.group_size)
         tokens = self.encoder(g.neighborhood, use_running_average=deterministic)
         _, taps = self.blocks(tokens, self.pos_embed(g.center), path="none",
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              feature_blocks=(3, 7, 11))
         label_emb = self.label_conv(cls_label, deterministic=deterministic)
         x, glob = _seg_features(taps, label_emb, N)
         f0 = self.propagation_0(query, g.center, query, x,

@@ -30,7 +30,16 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, j
       (sq_dists [B, S, k] ascending, idx [B, S, k] int32)
     """
     sq = square_distance(query, points)           # [B, S, N]
-    neg, idx = jax.lax.top_k(-sq, k)
+    n = points.shape[1]
+    if k > n:
+        # degenerate (k > N): pad by repeating the farthest neighbour, like
+        # gathering with replacement — keeps shapes static for tiny inputs.
+        neg, idx = jax.lax.top_k(-sq, n)
+        pad = k - n
+        neg = jnp.concatenate([neg, jnp.repeat(neg[..., -1:], pad, axis=-1)], -1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[..., -1:], pad, axis=-1)], -1)
+    else:
+        neg, idx = jax.lax.top_k(-sq, k)
     return -neg, idx.astype(jnp.int32)
 
 

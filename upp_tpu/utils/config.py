@@ -43,6 +43,21 @@ class ConfigDict(dict):
                 for k, v in self.items()}
 
 
+def to_config(obj) -> "ConfigDict":
+    """Coerce any nested mapping (dict / flax FrozenDict / ConfigDict) into an
+    attribute-accessible ConfigDict. flax freezes dict module fields, so model
+    setup() goes through this."""
+    from collections.abc import Mapping
+    if isinstance(obj, ConfigDict):
+        return obj
+    if isinstance(obj, Mapping):
+        out = ConfigDict()
+        for k, v in obj.items():
+            out[k] = to_config(v) if isinstance(v, Mapping) else v
+        return out
+    raise TypeError(f"cannot coerce {type(obj)} to ConfigDict")
+
+
 def _load_yaml(path: str) -> Dict:
     with open(path, "r") as f:
         return yaml.load(f, Loader=yaml.FullLoader)

@@ -1,0 +1,98 @@
+"""Benchmark: noisy-ModelNet40 PEFT training throughput (clouds/sec/chip).
+
+Runs the flagship Point_MAE_unify PEFT training step — the COMPLETE per-batch
+pipeline (viewpoint crop 8192→1024 → shell+lidar noise → scale/translate →
+rectify pass → completion pass → downstream pass → CE loss → masked AdamW
+update), i.e. exactly what one optimizer step of
+``main.py --peft_model --config cfgs/unify_modelnet_cls.yaml`` executes —
+on synthetic clouds at the shipped config's shapes (bs=120, N_POINTS=8192,
+npoints=1024), on the attached TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference never measured throughput (SURVEY.md §6); the CUDA
+baseline is ESTIMATED at 25 clouds/sec on a single modern GPU — dominated by
+``misc.seprate_point_cloud``'s per-sample host loop of 120 CUDA FPS calls per
+batch plus three backbone passes (``tools/runner_module.py:127-193``). Treat
+the ratio as provisional until a measured CUDA number replaces it.
+"""
+
+import json
+import time
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CUDA_BASELINE_CLOUDS_PER_SEC = 25.0  # documented estimate, see module docstring
+
+
+def main():
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_cls import PEFT_LIST, make_train_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import cfg_from_yaml_file
+    from __graft_entry__ import _flagship_cfg
+
+    config = cfg_from_yaml_file("cfgs/unify_modelnet_cls.yaml")
+    args = types.SimpleNamespace(incomplete_cropping=True, noise=True,
+                                 noise_type=("gaussian_noise", "lidar_noise"),
+                                 normalize=False)
+
+    n_devices = len(jax.devices())
+    mesh = make_mesh()
+    B = int(config.total_bs)           # 120, the shipped config's batch
+    B = (B // n_devices) * n_devices or n_devices
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)   # 8192
+    npoints = int(config.npoints)                          # 1024
+    n_in = npoints + 72
+
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(model.init(rngs, jnp.zeros((2, n_in, 3), jnp.float32),
+                                completion_prompt=True, denoise=True,
+                                point_num=npoints, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
+                               peft_list=PEFT_LIST)
+    state = TrainState(params=replicate(mesh, variables["params"]),
+                       batch_stats=replicate(mesh, variables["batch_stats"]),
+                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       step=jnp.zeros((), jnp.int32))
+    train_step = make_train_step(model, tx, config, args)
+
+    rng = np.random.default_rng(0)
+    pts_host = rng.standard_normal((B, n_pts_ds, 3)).astype(np.float32)
+    label_host = rng.integers(0, 40, B).astype(np.int32)
+    pts = shard_batch(mesh, jnp.asarray(pts_host))
+    label = shard_batch(mesh, jnp.asarray(label_host))
+
+    # warmup / compile
+    key = jax.random.key(1)
+    state, m = train_step(state, pts, label, key)
+    jax.block_until_ready(m["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, k = jax.random.split(key)
+        state, m = train_step(state, pts, label, k)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = B * iters / dt
+    per_chip = clouds_per_sec / n_devices
+    print(json.dumps({
+        "metric": "noisy_modelnet40_peft_train_clouds_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "clouds/s/chip",
+        "vs_baseline": round(per_chip / CUDA_BASELINE_CLOUDS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""UPP-TPU launcher — CLI-compatible with the reference's ``main.py``:
+
+    python main.py --peft_model --config cfgs/unify_modelnet_cls.yaml \
+                   --ckpts prompter_bases/mae-modelnet-2.349.pth
+    python main.py --test --peft_model --config ... --ckpts <trained>
+    python main.py --config cfgs/pretask.yaml        (prompter pretraining)
+    python main.py --config cfgs/pretrain.yaml       (MAE pretraining)
+
+Dispatch mirrors ``/root/reference/main.py:75-103``: config.task ×
+(--finetune_model | --peft_model | --test)."""
+
+import os
+
+
+def main():
+    from upp_tpu.utils.parser import get_args
+    from upp_tpu.utils.config import get_config, log_args_to_file, log_config_to_file
+    from upp_tpu.utils.logger import get_root_logger
+
+    args = get_args()
+    logger = get_root_logger(
+        log_file=os.path.join(args.experiment_path, f"{args.log_name}.log"),
+        name=args.log_name)
+    config = get_config(args, logger=logger)
+
+    # per-split batch sizes from total_bs (main.py:46-60); JAX shards over
+    # devices inside the step, so the host batch stays total_bs per process.
+    import jax
+    per_proc = max(int(config.total_bs) // jax.process_count(), 1)
+    for split in ("train", "val", "test"):
+        if split in config.dataset:
+            config.dataset[split].others.bs = (
+                per_proc if split == "train"
+                else per_proc if config.task != "pretask" else 1)
+
+    log_args_to_file(args, "args", logger=logger)
+    log_config_to_file(config, "config", logger=logger)
+
+    from upp_tpu.train import runner_cls, runner_pretask, runner_pretrain, runner_seg
+
+    task = config.task
+    if args.test:
+        if task == "segmentation":
+            runner_seg.test_net(args, config, unify=args.peft_model)
+        elif task == "pretask":
+            runner_pretask.test_net(args, config)
+        else:
+            runner_cls.test_net(args, config)
+    elif task == "classification":
+        if args.finetune_model:
+            runner_cls.finetune_run_net(args, config)
+        else:
+            runner_cls.run_net(args, config)
+    elif task == "segmentation":
+        if args.finetune_model:
+            runner_seg.finetune_run_net(args, config)
+        else:
+            runner_seg.run_net(args, config)
+    elif task == "pretask":
+        runner_pretask.run_net(args, config)
+    elif task == "pretrain":
+        runner_pretrain.run_net(args, config)
+    else:
+        raise NotImplementedError(f"task {task}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Native host library: build, FPS correctness vs numpy oracle, npy reader."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from upp_tpu import native
+
+
+def _fps_oracle(pts, m, start=0):
+    n = pts.shape[0]
+    dist = np.full(n, 1e10)
+    idx = np.empty(m, np.int64)
+    cur = start
+    for s in range(m):
+        idx[s] = cur
+        d = ((pts - pts[cur]) ** 2).sum(-1)
+        dist = np.minimum(dist, d)
+        cur = int(np.argmax(dist))
+    return idx
+
+
+def test_native_builds():
+    lib = native.get_lib()
+    # the image ships g++, so the native path must be live (not the fallback)
+    assert lib is not None
+
+
+def test_fps_host_matches_oracle():
+    pts = np.random.default_rng(0).standard_normal((256, 3)).astype(np.float32)
+    got = native.fps_host(pts, 64)
+    want = _fps_oracle(pts, 64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fps_host_batch():
+    pts = np.random.default_rng(1).standard_normal((4, 128, 3)).astype(np.float32)
+    got = native.fps_host_batch(pts, 32)
+    for b in range(4):
+        np.testing.assert_array_equal(got[b], _fps_oracle(pts[b], 32))
+
+
+def test_read_npy_batch(tmp_path):
+    paths = []
+    ref = []
+    for i in range(6):
+        arr = np.random.default_rng(i).standard_normal((100 + i, 3)).astype(np.float32)
+        p = str(tmp_path / f"c{i}.npy")
+        np.save(p, arr)
+        paths.append(p)
+        ref.append(arr)
+    out = native.read_npy_batch(paths, 100)
+    for i in range(6):
+        np.testing.assert_allclose(out[i], ref[i][:100], rtol=1e-6)
+
+
+def test_read_npy_batch_f64(tmp_path):
+    arr = np.random.default_rng(9).standard_normal((50, 3))  # float64
+    p = str(tmp_path / "d.npy")
+    np.save(p, arr)
+    out = native.read_npy_batch([p], 50)
+    np.testing.assert_allclose(out[0], arr.astype(np.float32), rtol=1e-6)

@@ -16,19 +16,13 @@ from .io import pc_normalize
 
 
 def farthest_point_sample_np(point: np.ndarray, npoint: int) -> np.ndarray:
-    """Numpy FPS used only for one-time cache building
-    (``ModelNetDataset.py:29-49``; random start like the reference)."""
-    N, _ = point.shape
-    xyz = point[:, :3]
-    centroids = np.zeros((npoint,), np.int64)
-    distance = np.full((N,), 1e10)
-    farthest = np.random.randint(0, N)
-    for i in range(npoint):
-        centroids[i] = farthest
-        d = np.sum((xyz - xyz[farthest]) ** 2, -1)
-        distance = np.minimum(distance, d)
-        farthest = int(np.argmax(distance))
-    return point[centroids]
+    """Host FPS used only for one-time cache building
+    (``ModelNetDataset.py:29-49``; random start like the reference). Runs the
+    native C++ sampler (upp_tpu.native) when built, numpy otherwise."""
+    from ..native import fps_host
+    start = int(np.random.randint(0, point.shape[0]))
+    idx = fps_host(point[:, :3], npoint, start=start)
+    return point[idx]
 
 
 @DATASETS.register_module("ModelNet")

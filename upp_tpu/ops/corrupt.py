@@ -55,10 +55,11 @@ def _viewpoint_split(key: jax.Array, points: jnp.ndarray,
     return jnp.argsort(d)
 
 
-@partial(jax.jit, static_argnames=("sample_points",))
+@partial(jax.jit, static_argnames=("sample_points", "resample"))
 def separate_point_cloud(key: jax.Array, xyz: jnp.ndarray, num_crop,
                          sample_points: int = 1024,
-                         fixed_viewpoint: Optional[jnp.ndarray] = None
+                         fixed_viewpoint: Optional[jnp.ndarray] = None,
+                         resample: bool = True
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Viewpoint crop → (partial, crop), both FPS-resampled to ``sample_points``.
 
@@ -70,12 +71,21 @@ def separate_point_cloud(key: jax.Array, xyz: jnp.ndarray, num_crop,
     FPS instead of dynamic shapes. Callers must ensure
     num_crop >= sample_points and N - num_crop >= sample_points.
 
-    Returns (partial [B, sample_points, 3], crop [B, sample_points, 3]).
+    With ``resample=False`` (requires static ``num_crop``) the raw sorted
+    split is returned without FPS — the reference's
+    ``input_data.shape[1] <= sample_points`` branch (``misc.py:244-251``,
+    hit by the segmentation runner where partial < npoints).
+
+    Returns (partial, crop): [B, sample_points, 3] each when resampling,
+    else ([B, N-num_crop, 3], [B, num_crop, 3]).
     """
     B, N, _ = xyz.shape
     keys = jax.random.split(key, B)
     order = jax.vmap(lambda k, p: _viewpoint_split(k, p, fixed_viewpoint))(keys, xyz)
     sorted_pts = jnp.take_along_axis(xyz, order[..., None], axis=1)   # [B, N, 3]
+    if not resample:
+        nc = int(num_crop)
+        return sorted_pts[:, nc:], sorted_pts[:, :nc]
     pos = jnp.arange(N)[None, :]
     partial_valid = pos >= num_crop        # farthest N - num_crop points
     crop_valid = pos < num_crop

@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's torch.distributed/NCCL layer
+(``utils/dist_utils.py:9-54``, DDP wrap ``tools/runner_module.py:48-57``) with
+the JAX SPMD model: one ``jax.sharding.Mesh`` with a ``data`` axis over
+ICI-connected chips; batches are sharded over ``data``, parameters are
+replicated, and XLA inserts the gradient/metric collectives (the explicit
+``reduce_tensor``/``gather_tensor`` calls and SyncBN of the reference fall out
+of global-semantics jit for free).
+
+The UPP workload is 22M params with ≤140-token sequences — data parallelism
+saturates it; the model dimension never needs sharding (SURVEY.md §2.5). The
+mesh is still built with a (data, model) factorisation so tensor-parallel
+shardings can be introduced without changing call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Mesh:
+    """Build a (data, model) mesh over all (or given) devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place host arrays on device, sharded along the leading batch axis."""
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,77 @@
+"""Checkpoint save / resume (orbax).
+
+Replaces ``tools/builder.py:91-163``: ``ckpt-best`` / ``ckpt-last`` per
+experiment dir with {params, batch_stats, opt_state, epoch}; resume restores
+epoch + weights + optimizer. Optimizer state (optax namedtuples) is serialized
+as a flat leaf list and re-hung on the live treedef at restore, so exotic
+optax structures round-trip."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..utils.logger import print_log
+from .state import TrainState
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(state: TrainState, epoch: int, prefix: str,
+                    experiment_path: str, metrics: Optional[Dict] = None,
+                    logger=None) -> None:
+    path = os.path.join(os.path.abspath(experiment_path), prefix)
+    opt_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.opt_state)]
+    payload = {
+        "params": _to_numpy(state.params),
+        "opt_leaves": opt_leaves,
+        "epoch": int(epoch),
+        # orbax rejects empty dict nodes — keep a sentinel entry
+        "metrics": {str(k): float(v) for k, v in (metrics or {}).items()} or {"_": 0.0},
+    }
+    if state.batch_stats:
+        payload["batch_stats"] = _to_numpy(state.batch_stats)
+    _checkpointer().save(path, payload, force=True)
+    print_log(f"Save checkpoint at {path}", logger=logger)
+
+
+def resume_checkpoint(state: TrainState, experiment_path: str,
+                      prefix: str = "ckpt-last", logger=None
+                      ) -> Tuple[TrainState, int, Dict]:
+    """Restore a TrainState saved by save_checkpoint; returns
+    (state, start_epoch, metrics). Missing checkpoint → epoch 0."""
+    path = os.path.join(os.path.abspath(experiment_path), prefix)
+    if not os.path.exists(path):
+        print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
+        return state, 0, {}
+    restored = _checkpointer().restore(path)
+    treedef = jax.tree_util.tree_structure(state.opt_state)
+    opt_leaves = [restored["opt_leaves"][str(i)] if isinstance(restored["opt_leaves"], dict)
+                  else restored["opt_leaves"][i]
+                  for i in range(treedef.num_leaves)]
+    new_state = state.replace(
+        params=restored["params"],
+        batch_stats=restored.get("batch_stats") or {},
+        opt_state=jax.tree_util.tree_unflatten(treedef, opt_leaves))
+    start = int(restored["epoch"]) + 1
+    print_log(f"[RESUME] restored ckpt @ epoch {restored['epoch']}", logger=logger)
+    return new_state, start, dict(restored.get("metrics") or {})
+
+
+def load_params_only(state: TrainState, experiment_path: str,
+                     prefix: str = "ckpt-best", logger=None) -> TrainState:
+    """Tolerant weights-only load (builder.load_model analogue)."""
+    path = os.path.join(os.path.abspath(experiment_path), prefix)
+    restored = _checkpointer().restore(path)
+    return state.replace(params=restored["params"],
+                         batch_stats=restored.get("batch_stats") or {})

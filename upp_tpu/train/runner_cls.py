@@ -1,0 +1,301 @@
+"""Classification runners: PEFT/unify training (the primary UPP path), full
+fine-tuning, and test/vote evaluation.
+
+Re-implements ``tools/runner_module.py`` (run_net/validate/test_net/test_vote)
+and ``tools/runner_finetune.py``. The entire per-batch computation — crop →
+noise → augment → 3-pass prompted model → CE loss → masked AdamW update — is
+ONE jitted, donated train step over a batch-sharded mesh; the host only feeds
+raw [B, N_POINTS, 3] clouds and reads scalar meters.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import BatchLoader, build_dataset_from_cfg
+from ..models import build_model_from_cfg
+from ..ops.fps import fps
+from ..ops.corrupt import normalize_unit_sphere, scale_translate
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.logger import get_logger, print_log
+from . import checkpoint as ckpt_io
+from .metrics import AccMetric, AverageMeter, cross_entropy_loss_acc
+from .optim import build_optimizer, count_params
+from .pipeline import corrupt_batch, subsample_fps_random
+from .state import TrainState
+from .torch_ckpt import load_into_variables, load_torch_state_dict
+
+# PEFT trainable-name lists (tools/runner_module.py:62-66, 230-244)
+PEFT_LIST = ["downstream_adapter", "downstream_adapter1", "downstream_prompts",
+             "bnorm", "cls_pos", "cls_token", "cls_head_finetune"]
+JOINT_PEFT_LIST = ["downstream_adapter", "downstream_adapter1",
+                   "downstream_prompts", "dense_pred", "mask_token",
+                   "rectify_prompter", "shape_pred", "coarse_pred",
+                   "predict_token_generator", "mask_prompter",
+                   "mask_token_generator"]
+
+
+def build_loaders(args, config):
+    train_ds = build_dataset_from_cfg(config.dataset.train._base_,
+                                      config.dataset.train.others)
+    val_ds = build_dataset_from_cfg(config.dataset.val._base_,
+                                    config.dataset.val.others)
+    n_proc, pid = jax.process_count(), jax.process_index()
+    train_loader = BatchLoader(train_ds, config.dataset.train.others.bs,
+                               shuffle=True, drop_last=True, seed=args.seed,
+                               num_shards=n_proc, shard_index=pid)
+    val_loader = BatchLoader(val_ds, config.dataset.val.others.bs,
+                             shuffle=False, drop_last=False,
+                             num_shards=n_proc, shard_index=pid)
+    return train_loader, val_loader
+
+
+def init_model(args, config, example_points, logger=None, peft=True):
+    """Build + init the model; returns (model, variables)."""
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    noisy = bool(config.get("noisy_train", False))
+    variables = model.init(rngs, example_points, completion_prompt=noisy,
+                           denoise=noisy, point_num=config.npoints,
+                           deterministic=True)
+    variables = dict(variables)
+    variables.setdefault("batch_stats", {})
+    if getattr(args, "ckpts", None):
+        state_dict = load_torch_state_dict(args.ckpts)
+        variables, missing, unexpected = load_into_variables(
+            variables, state_dict, logger=logger)
+        if missing:
+            print_log(f"missing_keys ({len(missing)}): {missing[:20]}...",
+                      logger=logger)
+        if unexpected:
+            print_log(f"unexpected_keys ({len(unexpected)}): {unexpected[:20]}...",
+                      logger=logger)
+    else:
+        print_log("Training from scratch", logger=logger)
+    return model, variables
+
+
+def make_train_step(model, tx, config, args):
+    noisy_train = bool(config.get("noisy_train", False))
+    npoints = int(config.npoints)
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)
+    aug = config.get("data_augmentation", None)
+
+    def train_step(state: TrainState, pts, label, rng):
+        k_pipe, k_drop, k_path = jax.random.split(rng, 3)
+        points = corrupt_batch(
+            k_pipe, pts, npoints=npoints, n_points_dataset=n_pts_ds,
+            noisy_train=noisy_train,
+            incomplete_cropping=bool(getattr(args, "incomplete_cropping", True)),
+            add_noise=bool(getattr(args, "noise", True)),
+            noise_types=tuple(getattr(args, "noise_type",
+                                      ("gaussian_noise", "lidar_noise"))),
+            augmentation=aug,
+            normalize=bool(getattr(args, "normalize", False)))
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, completion_prompt=noisy_train, denoise=noisy_train,
+                point_num=npoints, deterministic=False,
+                rngs={"dropout": k_drop, "droppath": k_path},
+                mutable=["batch_stats"])
+            loss, acc = cross_entropy_loss_acc(out, label)
+            return loss, (acc, mut["batch_stats"])
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, {"loss": loss, "acc": acc}
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model, config, args):
+    npoints = int(config.npoints)
+    noisy_validate = bool(config.get("noisy_validate", False))
+
+    def eval_step(variables, pts):
+        points, _ = fps(pts, npoints)
+        if getattr(args, "normalize", False):
+            points = normalize_unit_sphere(points)
+        logits = model.apply(variables, points,
+                             completion_prompt=noisy_validate,
+                             denoise=noisy_validate, point_num=npoints,
+                             deterministic=True)
+        return jnp.argmax(logits, axis=-1)
+
+    return jax.jit(eval_step)
+
+
+def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
+    preds, labels = [], []
+    variables = state.variables
+    for pts, label in loader:
+        pts_d = shard_batch(mesh, jnp.asarray(pts)) if pts.shape[0] % mesh.size == 0 \
+            else jnp.asarray(pts)
+        preds.append(np.asarray(eval_step(variables, pts_d)))
+        labels.append(label)
+    preds = np.concatenate(preds)
+    labels = np.concatenate(labels)
+    acc = float((preds == labels).mean() * 100.0)
+    print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger=logger)
+    return AccMetric(acc)
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    """PEFT/unify classification training (``runner_module.run_net``)."""
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    mesh = make_mesh()
+    train_loader, val_loader = build_loaders(args, config)
+
+    npoints = int(config.npoints)
+    bs = int(config.dataset.train.others.bs)
+    noisy = bool(config.get("noisy_train", False))
+    n_train_pts = int(config.dataset.train._base_.N_POINTS)
+    # model input shape after crop+noise
+    n_model_in = npoints
+    if noisy:
+        if getattr(args, "noise", True):
+            noise_types = getattr(args, "noise_type", ("gaussian_noise", "lidar_noise"))
+            from .pipeline import GAUSSIAN_NOISE_NUMBER, LIDAR_NOISE_NUMBER
+            if "lidar_noise" in noise_types:
+                n_model_in += LIDAR_NOISE_NUMBER
+            if "gaussian_noise" in noise_types:
+                n_model_in += GAUSSIAN_NOISE_NUMBER
+
+    example = jnp.zeros((2, n_model_in, 3), jnp.float32)
+    model, variables = init_model(args, config, example, logger=logger)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    peft = PEFT_LIST if getattr(args, "peft_model", True) else None
+    tx, sched, mask = build_optimizer(config, variables["params"],
+                                      steps_per_epoch, peft_list=peft)
+    trainable, total = count_params(variables["params"], mask)
+    print_log(f"# TrainableParams: {trainable/1e6:.2f} M / {total/1e6:.2f} M "
+              f"({trainable/total*100:.2f} %)", logger=logger)
+
+    state = TrainState(params=replicate(mesh, variables["params"]),
+                       batch_stats=replicate(mesh, variables["batch_stats"]),
+                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       step=jnp.zeros((), jnp.int32))
+
+    start_epoch = 0
+    best = AccMetric(0.0)
+    if getattr(args, "resume", False):
+        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+            state, args.experiment_path, logger=logger)
+        best = AccMetric(saved.get("acc", 0.0))
+
+    train_step = make_train_step(model, tx, config, args)
+    eval_step = make_eval_step(model, config, args)
+    rng = jax.random.key(args.seed + 777)
+
+    metrics = validate(eval_step, state, val_loader, mesh, 0, logger=logger)
+
+    joint_epoch = int(getattr(args, "joint_optimization", -1) or -1)
+    max_epoch = int(config.max_epoch)
+    for epoch in range(start_epoch, max_epoch + 1):
+        train_loader.set_epoch(epoch)
+        losses = AverageMeter(["loss", "acc"])
+        t0 = time.time()
+        for pts, label in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
+            state, m = train_step(state, batch[0], batch[1], step_rng)
+            losses.update([float(m["loss"]), float(m["acc"])])
+
+        # joint optimization: unfreeze prompters (runner_module.py:230-244)
+        if epoch == joint_epoch:
+            print_log("[joint optimization] switching trainable set", logger=logger)
+            params_host = jax.device_get(state.params)
+            tx, sched, mask = build_optimizer(config, params_host,
+                                              steps_per_epoch,
+                                              peft_list=JOINT_PEFT_LIST)
+            state = state.replace(opt_state=replicate(mesh, tx.init(params_host)))
+            train_step = make_train_step(model, tx, config, args)
+
+        print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
+                  (epoch, time.time() - t0,
+                   ["%.4f" % v for v in losses.avg()]), logger=logger)
+
+        if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0 and epoch != 0:
+            metrics = validate(eval_step, state, val_loader, mesh, epoch,
+                               logger=logger)
+            if metrics.better_than(best):
+                best = metrics
+                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                                        args.experiment_path,
+                                        metrics=metrics.state_dict(), logger=logger)
+        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+                                metrics=metrics.state_dict(), logger=logger)
+    return best
+
+
+def finetune_run_net(args, config, train_writer=None, val_writer=None):
+    """Full fine-tuning (``tools/runner_finetune.py``): same loop with all
+    params trainable (peft_model=False path)."""
+    args.peft_model = False
+    return run_net(args, config, train_writer, val_writer)
+
+
+def test_net(args, config):
+    """Checkpoint evaluation (``runner_module.test_net`` /
+    ``runner_finetune.test_net``)."""
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    mesh = make_mesh()
+    test_ds = build_dataset_from_cfg(config.dataset.test._base_,
+                                     config.dataset.test.others)
+    loader = BatchLoader(test_ds, config.dataset.test.others.bs)
+
+    npoints = int(config.npoints)
+    example = jnp.zeros((2, npoints + 72, 3), jnp.float32)
+    model, variables = init_model(args, config, example, logger=logger)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_step = make_eval_step(model, config, args)
+    metrics = validate(eval_step, state, loader, mesh, 0, logger=logger)
+    print_log(f"[TEST] acc = {metrics.acc:.4f}", logger=logger)
+    if getattr(args, "vote", False):
+        acc = test_vote(model, state, loader, config, args, logger=logger)
+        print_log(f"[TEST_VOTE] acc = {acc:.4f}", logger=logger)
+    return metrics
+
+
+def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
+    """10× FPS-resample + scale-translate vote (``runner_module.py:427-490``)."""
+    npoints = int(config.npoints)
+
+    @jax.jit
+    def vote_logits(variables, pts, rng):
+        k1, k2 = jax.random.split(rng)
+        points = subsample_fps_random(k1, pts, npoints)
+        points = scale_translate(k2, points)
+        return model.apply(variables, points, deterministic=True)
+
+    rng = jax.random.key(args.seed + 4242)
+    preds, labels = [], []
+    variables = state.variables
+    for pts, label in loader:
+        pts = jnp.asarray(pts)
+        acc_logits = None
+        for _ in range(times):
+            rng, k = jax.random.split(rng)
+            logits = vote_logits(variables, pts, k)
+            acc_logits = logits if acc_logits is None else acc_logits + logits
+        preds.append(np.asarray(jnp.argmax(acc_logits, -1)))
+        labels.append(label)
+    preds, labels = np.concatenate(preds), np.concatenate(labels)
+    return float((preds == labels).mean() * 100.0)

@@ -1,0 +1,275 @@
+"""Prompter pretraining runner (``tools/runner_pretask.py``).
+
+Trains the Rectification + Completion prompters with Chamfer/noise losses on
+cropped+noised clouds. The whole per-step pipeline — augment → random-ratio
+viewpoint crop (masked, static-shape) → shell/lidar noise → model → 3 CD-L1
+terms + noise loss → masked update — is one jitted step.
+
+Stage-2 at epoch 20 (``runner_pretask.py:283-296``) drops the rectify params
+from the trainable set (fresh optimizer state, same params).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import BatchLoader, build_dataset_from_cfg
+from ..ops.chamfer import chamfer_l1, chamfer_l2
+from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
+                           scale_translate, separate_point_cloud)
+from ..ops.fps import fps
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.logger import get_logger, print_log
+from . import checkpoint as ckpt_io
+from .metrics import AverageMeter, CDMetric
+from .optim import build_optimizer, count_params
+from .runner_cls import build_loaders, init_model
+from .state import TrainState
+
+# tools/runner_pretask.py:110-123
+PRETASK_PEFT_LIST = [
+    "rectify_adapter", "downstream_adapter", "pretask_adapter",
+    "rectify_adapter1", "downstream_adapter1", "pretask_adapter1",
+    "rectify_prompts", "downstream_prompts", "pretask_prompts",
+    "coarse_pred", "increase_dim", "mask_token", "dense_pred",
+    "rectify_prompter", "shape_pred", "predict_token_generator",
+    "mask_prompter", "mask_token_generator",
+]
+# tools/runner_pretask.py:283-296 (epoch-20 switch: rectify set frozen)
+PRETASK_STAGE2_LIST = [
+    "downstream_adapter", "pretask_adapter", "downstream_adapter1",
+    "pretask_adapter1", "downstream_prompts", "pretask_prompts",
+    "coarse_pred", "dense_pred", "mask_token", "shape_pred",
+    "predict_token_generator", "increase_dim", "mask_prompter",
+    "mask_token_generator",
+]
+STAGE2_EPOCH = 20
+GAUSSIAN_NUM = 20   # runner_pretask.py:198
+LIDAR_NUM = 32      # runner_pretask.py:207
+
+CROP_RATIOS = {"easy": 0.25, "median": 0.5, "hard": 0.75}
+VIEWPOINTS_8 = [(1, 1, 1), (1, 1, -1), (1, -1, 1), (-1, 1, 1),
+                (-1, -1, 1), (-1, 1, -1), (1, -1, -1), (-1, -1, -1)]
+
+
+def make_pretask_train_step(model, tx, config, args):
+    npoints = int(config.npoints)
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)
+    aug = config.get("data_augmentation", None)
+    add_noise = bool(getattr(args, "noise", True))
+    noise_types = tuple(getattr(args, "noise_type",
+                                ("gaussian_noise", "lidar_noise")))
+
+    def train_step(state: TrainState, gt, rng):
+        ks = jax.random.split(rng, 8)
+        if aug == "rotate":
+            gt = rotate_y(ks[0], gt)
+        elif aug == "scale-translate":
+            gt = scale_translate(ks[0], gt)
+
+        # random crop ratio in [0.15N, 0.5N] per step (runner_pretask.py:179-183)
+        num_crop = jax.random.randint(ks[1], (), int(n_pts_ds * 0.15),
+                                      int(n_pts_ds * 0.5) + 1)
+        partial, cropping = separate_point_cloud(ks[2], gt, num_crop,
+                                                 sample_points=npoints)
+        points = partial
+        B = points.shape[0]
+        if add_noise:
+            if "gaussian_noise" in noise_types:
+                shell = (jax.random.uniform(ks[3], ()) + 2.0) / 3.0
+                g = gaussian_shell_noise(ks[4], (B, GAUSSIAN_NUM, 3),
+                                         loc=0.0, scale=0.2, shell_radius=shell)
+                points = jnp.concatenate([points, g], axis=1)
+            if "lidar_noise" in noise_types:
+                l = lidar_noise(ks[5], points, LIDAR_NUM, low=1.2, scale=1.5)
+                points = jnp.concatenate([points, l], axis=1)
+
+        def loss_fn(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, point_num=npoints, train_with_gaussian=add_noise,
+                deterministic=False,
+                rngs={"dropout": ks[6], "droppath": ks[7]},
+                mutable=["batch_stats"])
+            if add_noise:
+                predict_center, rebuild, noise_loss, recall = out
+            else:
+                predict_center, rebuild = out
+                noise_loss, recall = jnp.float32(0.0), jnp.float32(1.0)
+            # loss terms (runner_pretask.py:217-225)
+            cropping_coarse = chamfer_l1(predict_center, cropping)
+            cropping_dense = chamfer_l1(rebuild, cropping)
+            dense = chamfer_l1(jnp.concatenate([partial, rebuild], axis=1), gt)
+            loss = cropping_coarse + cropping_dense + dense + noise_loss
+            aux = {"cropping_coarse": cropping_coarse * 1000,
+                   "cropping_dense": cropping_dense * 1000,
+                   "dense": dense * 1000, "noise_loss": noise_loss * 1000,
+                   "recall": recall * 100,
+                   "batch_stats": mut["batch_stats"]}
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_stats = aux.pop("batch_stats")
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, aux
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_pretask_eval_step(model, config, mode: str = "easy"):
+    """Eval: fixed-viewpoint crop → model → coarse/dense CD vs full gt
+    (``runner_pretask.py:359-385``)."""
+    npoints = int(config.npoints)
+    n_pts_ds = int(config.dataset.val._base_.N_POINTS)
+    num_crop = int(n_pts_ds * CROP_RATIOS[mode])
+
+    def eval_step(variables, gt, viewpoint):
+        partial, _ = separate_point_cloud(jax.random.key(0), gt, num_crop,
+                                          sample_points=npoints,
+                                          fixed_viewpoint=viewpoint)
+        partial_center, _ = fps(partial, 128)
+        predict_center, rebuild = model.apply(
+            variables, partial, point_num=npoints, train_with_gaussian=False,
+            deterministic=True)
+        coarse = jnp.concatenate([partial_center, predict_center], axis=1)
+        dense = jnp.concatenate([partial, rebuild], axis=1)
+        return {"sparse_l1": chamfer_l1(coarse, gt) * 1000,
+                "sparse_l2": chamfer_l2(coarse, gt) * 1000,
+                "dense_l1": chamfer_l1(dense, gt) * 1000,
+                "dense_l2": chamfer_l2(dense, gt) * 1000}
+
+    return jax.jit(eval_step)
+
+
+def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
+             mode: str = "easy") -> CDMetric:
+    meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
+    variables = state.variables
+    viewpoints = VIEWPOINTS_8 if in_detail else VIEWPOINTS_8[:1]
+    for batch in loader:
+        gt = jnp.asarray(batch[0])
+        for vp in viewpoints:
+            m = eval_step(variables, gt, jnp.asarray(vp, jnp.float32))
+            meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
+                           float(m["dense_l1"]), float(m["dense_l2"])])
+    print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
+              % (epoch, meters.avg(3)), logger=logger)
+    return CDMetric(meters.avg(3))
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    mesh = make_mesh()
+    train_loader, val_loader = build_loaders(args, config)
+
+    npoints = int(config.npoints)
+    n_in = npoints + GAUSSIAN_NUM + LIDAR_NUM
+    example = jnp.zeros((2, n_in, 3), jnp.float32)
+
+    model = None
+    from ..models import build_model_from_cfg
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(model.init(rngs, example, point_num=npoints,
+                                train_with_gaussian=True, deterministic=False))
+    variables.setdefault("batch_stats", {})
+    if getattr(args, "ckpts", None):
+        from .torch_ckpt import load_into_variables, load_torch_state_dict
+        variables, missing, unexpected = load_into_variables(
+            variables, load_torch_state_dict(args.ckpts), logger=logger)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    peft = PRETASK_PEFT_LIST if getattr(args, "peft_model", True) else None
+    tx, sched, mask = build_optimizer(config, variables["params"],
+                                      steps_per_epoch, peft_list=peft)
+    trainable, total = count_params(variables["params"], mask)
+    print_log(f"# TrainableParams: {trainable/1e6:.2f} M / {total/1e6:.2f} M",
+              logger=logger)
+
+    state = TrainState(params=replicate(mesh, variables["params"]),
+                       batch_stats=replicate(mesh, variables["batch_stats"]),
+                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       step=jnp.zeros((), jnp.int32))
+    start_epoch = 0
+    best = CDMetric(1000.0)
+    if getattr(args, "resume", False):
+        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+            state, args.experiment_path, logger=logger)
+        best = CDMetric(saved.get("cd", 1000.0))
+
+    train_step = make_pretask_train_step(model, tx, config, args)
+    eval_step = make_pretask_eval_step(model, config,
+                                       mode=getattr(args, "mode", None) or "easy")
+    rng = jax.random.key(args.seed + 777)
+    metrics = CDMetric(1000.0)
+
+    for epoch in range(start_epoch, int(config.max_epoch) + 1):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["CroppingCoarseLoss", "CroppingDenseLoss",
+                               "DenseLoss", "NoiseLoss", "Recall"])
+        t0 = time.time()
+        for batch in train_loader:
+            rng, k = jax.random.split(rng)
+            gt = shard_batch(mesh, jnp.asarray(batch[0]))
+            state, m = train_step(state, gt, k)
+            meters.update([float(m["cropping_coarse"]), float(m["cropping_dense"]),
+                           float(m["dense"]), float(m["noise_loss"]),
+                           float(m["recall"])])
+        print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
+                  (epoch, time.time() - t0,
+                   ["%.4f" % v for v in meters.avg()]), logger=logger)
+
+        if epoch == STAGE2_EPOCH:
+            print_log("[stage 2] freezing rectify set", logger=logger)
+            params_host = jax.device_get(state.params)
+            tx, sched, mask = build_optimizer(config, params_host, steps_per_epoch,
+                                              peft_list=PRETASK_STAGE2_LIST)
+            state = state.replace(opt_state=replicate(mesh, tx.init(params_host)))
+            train_step = make_pretask_train_step(model, tx, config, args)
+
+        if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:
+            metrics = validate(eval_step, state, val_loader, epoch, logger=logger)
+            if metrics.better_than(best):
+                best = metrics
+                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                                        args.experiment_path,
+                                        metrics=metrics.state_dict(), logger=logger)
+        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+                                metrics=metrics.state_dict(), logger=logger)
+    return best
+
+
+def test_net(args, config):
+    """Detailed pretask eval: 8 fixed viewpoints, crop mode from --mode."""
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    test_ds = build_dataset_from_cfg(config.dataset.test._base_,
+                                     config.dataset.test.others)
+    loader = BatchLoader(test_ds, int(config.dataset.test.others.get("bs", 1)))
+    from ..models import build_model_from_cfg
+    model = build_model_from_cfg(config.model)
+    npoints = int(config.npoints)
+    example = jnp.zeros((2, npoints + GAUSSIAN_NUM + LIDAR_NUM, 3), jnp.float32)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(model.init(rngs, example, point_num=npoints,
+                                train_with_gaussian=True, deterministic=False))
+    variables.setdefault("batch_stats", {})
+    if getattr(args, "ckpts", None):
+        from .torch_ckpt import load_into_variables, load_torch_state_dict
+        variables, _, _ = load_into_variables(
+            variables, load_torch_state_dict(args.ckpts), logger=logger)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_step = make_pretask_eval_step(model, config,
+                                       mode=getattr(args, "mode", None) or "easy")
+    return validate(eval_step, state, loader, 0, logger=logger, in_detail=True)

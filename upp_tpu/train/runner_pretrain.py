@@ -1,0 +1,133 @@
+"""Point-MAE self-supervised pretraining runner (``tools/runner_pretrain.py``):
+FPS to npoints → scale/translate augment → Chamfer reconstruction loss, with
+an SVM linear-probe validation over encoder features
+(``runner_pretrain.py:49-53,203-262``).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import BatchLoader, build_dataset_from_cfg
+from ..models import build_model_from_cfg
+from ..ops.corrupt import rotate_y, scale_translate
+from ..ops.fps import fps
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.logger import get_logger, print_log
+from . import checkpoint as ckpt_io
+from .metrics import AccMetric, AverageMeter
+from .optim import build_optimizer
+from .state import TrainState
+
+
+def make_pretrain_step(model, tx, config):
+    npoints = int(config.npoints)
+    aug = config.get("data_augmentation", "scale-translate")
+
+    def train_step(state: TrainState, pts, rng):
+        ks = jax.random.split(rng, 4)
+        points, _ = fps(pts, npoints)
+        if aug == "rotate":
+            points = rotate_y(ks[0], points)
+        elif aug == "scale-translate":
+            points = scale_translate(ks[0], points)
+
+        def loss_fn(params):
+            loss, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                points, deterministic=False,
+                rngs={"dropout": ks[1], "droppath": ks[2], "mask": ks[3]},
+                mutable=["batch_stats"])
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def svm_probe(model, state, train_loader, val_loader, npoints: int,
+              logger=None) -> float:
+    """Linear SVM over frozen encoder features
+    (``runner_pretrain.py:203-262``)."""
+    from sklearn.svm import LinearSVC
+
+    @jax.jit
+    def features(variables, pts):
+        points, _ = fps(pts, npoints)
+        return model.apply(variables, points, eval_features=True,
+                           deterministic=True)
+
+    def collect(loader):
+        X, y = [], []
+        for pts, label in loader:
+            X.append(np.asarray(features(state.variables, jnp.asarray(pts))))
+            y.append(label)
+        return np.concatenate(X), np.concatenate(y)
+
+    Xtr, ytr = collect(train_loader)
+    Xte, yte = collect(val_loader)
+    clf = LinearSVC(max_iter=2000)
+    clf.fit(Xtr, ytr)
+    acc = float((clf.predict(Xte) == yte).mean() * 100.0)
+    print_log(f"[SVM probe] acc = {acc:.4f}", logger=logger)
+    return acc
+
+
+def run_net(args, config, train_writer=None, val_writer=None):
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    mesh = make_mesh()
+    train_ds = build_dataset_from_cfg(config.dataset.train._base_,
+                                      config.dataset.train.others)
+    bs = int(config.dataset.train.others.bs)
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
+                               seed=args.seed, num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
+
+    model = build_model_from_cfg(config.model)
+    npoints = int(config.npoints)
+    example = jnp.zeros((2, npoints, 3), jnp.float32)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(model.init(rngs, example, deterministic=False))
+    variables.setdefault("batch_stats", {})
+
+    steps_per_epoch = max(len(train_loader), 1)
+    tx, sched, mask = build_optimizer(config, variables["params"],
+                                      steps_per_epoch, peft_list=None)
+    state = TrainState(params=replicate(mesh, variables["params"]),
+                       batch_stats=replicate(mesh, variables["batch_stats"]),
+                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       step=jnp.zeros((), jnp.int32))
+    start_epoch = 0
+    if getattr(args, "resume", False):
+        state, start_epoch, _ = ckpt_io.resume_checkpoint(
+            state, args.experiment_path, logger=logger)
+
+    train_step = make_pretrain_step(model, tx, config)
+    rng = jax.random.key(args.seed + 777)
+
+    for epoch in range(start_epoch, int(config.max_epoch) + 1):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["loss"])
+        t0 = time.time()
+        for batch in train_loader:
+            rng, k = jax.random.split(rng)
+            pts = shard_batch(mesh, jnp.asarray(batch[0]))
+            state, m = train_step(state, pts, k)
+            meters.update([float(m["loss"]) * 1000])
+        print_log("[Training] EPOCH: %d EpochTime = %.3f (s) LossX1000 = %.4f" %
+                  (epoch, time.time() - t0, meters.avg(0)), logger=logger)
+        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+                                logger=logger)
+    return state

@@ -1,0 +1,258 @@
+"""Part-segmentation runners (``tools/runner_unify_seg.py`` and
+``tools/runner_finetune_seg.py``): ShapeNetPart training with one-hot class
+conditioning, online crop (25%, kept at its natural 1536-point size) +
+gaussian 24 + lidar 64 noise, NLL loss over per-point log-probs, and the
+accuracy / class-avg / instance-avg mIoU validation suite.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data import BatchLoader, build_dataset_from_cfg
+from ..data.partnormal import SEG_CLASSES
+from ..models import build_model_from_cfg
+from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
+                           scale_translate, separate_point_cloud)
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..utils.logger import get_logger, print_log
+from . import checkpoint as ckpt_io
+from .metrics import AverageMeter, nll_seg_loss, seg_miou_metrics
+from .optim import build_optimizer, count_params
+from .state import TrainState
+
+# tools/runner_unify_seg.py:143-146
+SEG_PEFT_LIST = ["downstream_adapter", "downstream_prompts", "label_conv",
+                 "propagation_0", "seg_head", "propagation_1"]
+NUM_CLASSES = 16
+GAUSSIAN_NUM = 24   # runner_unify_seg.py:218
+LIDAR_NUM = 64      # runner_unify_seg.py:221
+
+
+def to_categorical(y: jnp.ndarray, num_classes: int = NUM_CLASSES) -> jnp.ndarray:
+    return jax.nn.one_hot(y, num_classes, dtype=jnp.float32)
+
+
+def make_seg_train_step(model, tx, config, args, unify: bool):
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)
+    num_crop = int(n_pts_ds * 0.25)
+    aug = config.get("data_augmentation", None)
+    noisy = bool(config.get("noisy_train", False))
+    deviation = float(getattr(args, "deviation", 0.1))
+    noise_radius = float(getattr(args, "noise_radius", 0.8))
+
+    def train_step(state: TrainState, pts, cls_label, target, rng):
+        ks = jax.random.split(rng, 6)
+        if aug == "rotate":
+            pts = rotate_y(ks[0], pts)
+        elif aug == "scale-translate":
+            pts = scale_translate(ks[0], pts)
+        gt_points = pts
+        one_hot = to_categorical(cls_label)
+
+        if unify and noisy:
+            partial, _ = separate_point_cloud(ks[1], pts, num_crop,
+                                              resample=False)
+            points = partial
+            B, P, _ = points.shape
+            g = gaussian_shell_noise(ks[2], (B, GAUSSIAN_NUM, 3), loc=0.0,
+                                     scale=deviation, shell_radius=noise_radius)
+            points = jnp.concatenate([points, g], axis=1)
+            l = lidar_noise(ks[3], points, LIDAR_NUM, low=1.2, scale=1.5)
+            points = jnp.concatenate([points, l], axis=1)
+        else:
+            points = pts
+            P = pts.shape[1]
+
+        def loss_fn(params):
+            kwargs = dict(deterministic=False,
+                          rngs={"dropout": ks[4], "droppath": ks[5]},
+                          mutable=["batch_stats"])
+            if unify:
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    points, one_hot, gt_points, completion_prompt=noisy,
+                    denoise=noisy, point_num=P, **kwargs)
+            else:
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    points, one_hot, gt_points, **kwargs)
+            loss = nll_seg_loss(out, target)
+            acc = jnp.mean((jnp.argmax(out, -1) == target).astype(jnp.float32))
+            return loss, (acc, mut["batch_stats"])
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1),
+                {"loss": loss, "acc": acc * 100})
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_seg_eval_step(model, config, unify: bool):
+    def eval_step(variables, pts, cls_label):
+        one_hot = to_categorical(cls_label)
+        if unify:
+            return model.apply(variables, pts, one_hot,
+                               completion_prompt=False, denoise=False,
+                               point_num=pts.shape[1], deterministic=True)
+        return model.apply(variables, pts, one_hot, deterministic=True)
+
+    return jax.jit(eval_step)
+
+
+def validate(eval_step, state, loader, epoch, logger=None):
+    """(``runner_unify_seg.py:300-368``): per-object argmax restricted to the
+    object's category part range, then the mIoU suite."""
+    variables = state.variables
+    all_preds, all_targets, all_cls = [], [], []
+    cat_names = list(SEG_CLASSES.keys())
+    label_to_cat = {p: c for c, parts in SEG_CLASSES.items() for p in parts}
+    for pts, cls, seg in loader:
+        logits = np.asarray(eval_step(variables, jnp.asarray(pts),
+                                      jnp.asarray(cls)))
+        preds = np.zeros(seg.shape, np.int32)
+        for i in range(seg.shape[0]):
+            cat = label_to_cat[int(seg[i, 0])]
+            parts = SEG_CLASSES[cat]
+            preds[i] = np.argmax(logits[i][:, parts], axis=1) + parts[0]
+        all_preds.append(preds)
+        all_targets.append(seg)
+        all_cls.append(cls)
+    m = seg_miou_metrics(np.concatenate(all_preds), np.concatenate(all_targets),
+                         np.concatenate(all_cls), SEG_CLASSES)
+    print_log("Epoch %d test Accuracy: %f  Class avg mIOU: %f  "
+              "Instance avg mIOU: %f" %
+              (epoch, m["accuracy"] * 100, m["class_avg_iou"] * 100,
+               m["instance_avg_iou"] * 100), logger=logger)
+    return m
+
+
+def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True):
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    mesh = make_mesh()
+    train_ds = build_dataset_from_cfg(config.dataset.train._base_,
+                                      config.dataset.train.others)
+    val_ds = build_dataset_from_cfg(config.dataset.val._base_,
+                                    config.dataset.val.others)
+    bs = int(config.dataset.train.others.bs)
+    train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
+                               seed=args.seed, num_shards=jax.process_count(),
+                               shard_index=jax.process_index())
+    val_loader = BatchLoader(val_ds, int(config.dataset.val.others.bs))
+
+    model = build_model_from_cfg(config.model)
+    n_pts = int(config.dataset.train._base_.N_POINTS)
+    noisy = bool(config.get("noisy_train", False))
+    p_in = (n_pts - int(n_pts * 0.25)) + GAUSSIAN_NUM + LIDAR_NUM if (unify and noisy) else n_pts
+    example_pts = jnp.zeros((2, p_in, 3), jnp.float32)
+    example_hot = jnp.zeros((2, NUM_CLASSES), jnp.float32)
+    example_query = jnp.zeros((2, n_pts, 3), jnp.float32)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    if unify:
+        variables = dict(model.init(
+            rngs, example_pts, example_hot, example_query,
+            completion_prompt=noisy, denoise=noisy,
+            point_num=n_pts - int(n_pts * 0.25), deterministic=True))
+    else:
+        variables = dict(model.init(rngs, example_pts, example_hot,
+                                    example_query, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    if getattr(args, "ckpts", None):
+        from .torch_ckpt import load_into_variables, load_torch_state_dict
+        variables, missing, unexpected = load_into_variables(
+            variables, load_torch_state_dict(args.ckpts), logger=logger)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    peft = SEG_PEFT_LIST if (unify and getattr(args, "peft_model", True)) else None
+    tx, sched, mask = build_optimizer(config, variables["params"],
+                                      steps_per_epoch, peft_list=peft)
+    trainable, total = count_params(variables["params"], mask)
+    print_log(f"# TrainableParams: {trainable/1e6:.2f} M / {total/1e6:.2f} M",
+              logger=logger)
+
+    state = TrainState(params=replicate(mesh, variables["params"]),
+                       batch_stats=replicate(mesh, variables["batch_stats"]),
+                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       step=jnp.zeros((), jnp.int32))
+    start_epoch, best_ins_iou = 0, 0.0
+    if getattr(args, "resume", False):
+        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+            state, args.experiment_path, logger=logger)
+        best_ins_iou = saved.get("instance_avg_iou", 0.0)
+
+    train_step = make_seg_train_step(model, tx, config, args, unify)
+    eval_step = make_seg_eval_step(model, config, unify)
+    rng = jax.random.key(args.seed + 777)
+    metrics = {"instance_avg_iou": 0.0}
+
+    for epoch in range(start_epoch, int(config.max_epoch) + 1):
+        train_loader.set_epoch(epoch)
+        meters = AverageMeter(["loss", "acc"])
+        t0 = time.time()
+        for pts, cls, seg in train_loader:
+            rng, k = jax.random.split(rng)
+            batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(cls),
+                                       jnp.asarray(seg)))
+            state, m = train_step(state, batch[0], batch[1], batch[2], k)
+            meters.update([float(m["loss"]), float(m["acc"])])
+        print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
+                  (epoch, time.time() - t0,
+                   ["%.4f" % v for v in meters.avg()]), logger=logger)
+
+        if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:
+            metrics = validate(eval_step, state, val_loader, epoch, logger=logger)
+            if metrics["instance_avg_iou"] >= best_ins_iou:
+                best_ins_iou = metrics["instance_avg_iou"]
+                ckpt_io.save_checkpoint(
+                    state, epoch, "ckpt-best", args.experiment_path,
+                    metrics={k: v for k, v in metrics.items()
+                             if isinstance(v, float)}, logger=logger)
+        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+                                metrics={k: v for k, v in metrics.items()
+                                         if isinstance(v, float)}, logger=logger)
+    return metrics
+
+
+def finetune_run_net(args, config, train_writer=None, val_writer=None):
+    """Full fine-tune seg (``tools/runner_finetune_seg.py``)."""
+    return run_net(args, config, train_writer, val_writer, unify=False)
+
+
+def test_net(args, config, unify: bool = True):
+    logger = get_logger(getattr(args, "log_name", "upp_tpu"))
+    test_ds = build_dataset_from_cfg(config.dataset.test._base_,
+                                     config.dataset.test.others)
+    loader = BatchLoader(test_ds, int(config.dataset.test.others.bs))
+    model = build_model_from_cfg(config.model)
+    n_pts = int(config.dataset.test._base_.N_POINTS)
+    rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    example_pts = jnp.zeros((2, n_pts, 3), jnp.float32)
+    example_hot = jnp.zeros((2, NUM_CLASSES), jnp.float32)
+    if unify:
+        variables = dict(model.init(rngs, example_pts, example_hot, example_pts,
+                                    completion_prompt=True, denoise=True,
+                                    point_num=n_pts, deterministic=True))
+    else:
+        variables = dict(model.init(rngs, example_pts, example_hot,
+                                    deterministic=True))
+    variables.setdefault("batch_stats", {})
+    if getattr(args, "ckpts", None):
+        from .torch_ckpt import load_into_variables, load_torch_state_dict
+        variables, _, _ = load_into_variables(
+            variables, load_torch_state_dict(args.ckpts), logger=logger)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_step = make_seg_eval_step(model, config, unify)
+    return validate(eval_step, state, loader, 0, logger=logger)

@@ -18,12 +18,19 @@ the ratio as provisional until a measured CUDA number replaces it.
 """
 
 import json
+import os
 import time
 import types
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the flagship train step is a large HLO (~5 min
+# first compile); cache it across runs.
+os.makedirs("/tmp/upp_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/upp_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 CUDA_BASELINE_CLOUDS_PER_SEC = 25.0  # documented estimate, see module docstring
 
@@ -53,9 +60,10 @@ def main():
     model = build_model_from_cfg(config.model)
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2)}
-    variables = dict(model.init(rngs, jnp.zeros((2, n_in, 3), jnp.float32),
-                                completion_prompt=True, denoise=True,
-                                point_num=npoints, deterministic=True))
+    from upp_tpu.models.build import jit_init
+    variables = dict(jit_init(model, rngs, jnp.zeros((2, n_in, 3), jnp.float32),
+                              completion_prompt=True, denoise=True,
+                              point_num=npoints, deterministic=True))
     variables.setdefault("batch_stats", {})
     tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
                                peft_list=PEFT_LIST)

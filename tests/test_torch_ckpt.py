@@ -1,0 +1,186 @@
+"""torch .pth → flax import shim: key-translation coverage and numeric parity.
+
+Builds small torch modules with the reference's exact state-dict naming
+(Sequential indices, Conv1d(k=1), BatchNorm running stats), saves a ckpt,
+loads it through the shim, and compares forward outputs between torch and our
+flax layers."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from upp_tpu.models.layers import Encoder, Mlp, Attention, Adapter, PosEmbedMLP
+from upp_tpu.train.torch_ckpt import (load_into_variables,
+                                      load_torch_state_dict, _translate_key)
+
+
+def _save(tmp_path, state):
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"base_model": state}, path)
+    return path
+
+
+def test_translate_key_rules():
+    cases = {
+        "encoder.first_conv.0.weight": ("encoder/first_conv0", "linear_w"),
+        "encoder.first_conv.1.running_mean": ("encoder/first_bn", "bn_mean"),
+        "blocks.blocks.3.attn.qkv.weight": ("blocks/block3/attn/qkv", "linear_w"),
+        "blocks.blocks.0.downstream_adapter.ln1.bias":
+            ("blocks/block0/downstream_adapter/ln1", "linear_b"),
+        "blocks.blocks.2.rectify_prompts": ("blocks/block2/rectify_prompts", "raw"),
+        "MAE_decoder.blocks.1.norm2.weight": ("MAE_decoder/block1/norm2", "linear_w"),
+        "cls_head_finetune.4.weight": ("cls_head_finetune/lin1", "linear_w"),
+        "rectify_prompter.abstraction.mlp_convs.2.weight":
+            ("rectify_prompter/abstraction/conv2", "linear_w"),
+        "dense_pred.0.weight": ("dense_pred_conv", "linear_w"),
+    }
+    for torch_key, want in cases.items():
+        assert _translate_key(torch_key) == want, torch_key
+    # dropped keys
+    assert _translate_key("encoder.first_conv.1.num_batches_tracked") is None
+
+
+def test_encoder_numeric_parity(tmp_path):
+    """torch mini-PointNet Encoder (reference layout) vs our flax Encoder."""
+    import torch.nn as tnn
+
+    class TEncoder(tnn.Module):
+        def __init__(self, c=32):
+            super().__init__()
+            self.first_conv = tnn.Sequential(
+                tnn.Conv1d(3, 128, 1), tnn.BatchNorm1d(128),
+                tnn.ReLU(inplace=True), tnn.Conv1d(128, 256, 1))
+            self.second_conv = tnn.Sequential(
+                tnn.Conv1d(512, 512, 1), tnn.BatchNorm1d(512),
+                tnn.ReLU(inplace=True), tnn.Conv1d(512, c, 1))
+
+        def forward(self, pg):
+            bs, g, n, _ = pg.shape
+            pg = pg.reshape(bs * g, n, 3)
+            f = self.first_conv(pg.transpose(2, 1))
+            fg = torch.max(f, dim=2, keepdim=True)[0]
+            f = torch.cat([fg.expand(-1, -1, n), f], dim=1)
+            f = self.second_conv(f)
+            return torch.max(f, dim=2)[0].reshape(bs, g, -1)
+
+    tm = TEncoder().eval()
+    # randomize BN stats so the test catches stat mapping errors
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm1d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+    state = {f"encoder.{k}": v for k, v in tm.state_dict().items()}
+    path = _save(tmp_path, state)
+
+    fm = Encoder(32)
+    x = np.random.default_rng(0).standard_normal((2, 4, 16, 3)).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x), use_running_average=True)
+    # wrap the flax tree under 'encoder/' to match the saved prefix
+    wrapped = {"params": {"encoder": variables["params"]},
+               "batch_stats": {"encoder": variables["batch_stats"]}}
+    loaded, missing, unexpected = load_into_variables(
+        wrapped, load_torch_state_dict(path))
+    assert not unexpected, unexpected
+    assert not missing, missing
+
+    got = fm.apply({"params": loaded["params"]["encoder"],
+                    "batch_stats": loaded["batch_stats"]["encoder"]},
+                   jnp.asarray(x), use_running_average=True)
+    want = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_attention_mlp_adapter_parity(tmp_path):
+    import torch.nn as tnn
+
+    dim, heads, n = 32, 4, 10
+
+    class TAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.qkv = tnn.Linear(dim, dim * 3, bias=False)
+            self.proj = tnn.Linear(dim, dim)
+
+        def forward(self, x):
+            B, N, C = x.shape
+            qkv = self.qkv(x).reshape(B, N, 3, heads, C // heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            attn = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+            attn = attn.softmax(dim=-1)
+            return self.proj((attn @ v).transpose(1, 2).reshape(B, N, C))
+
+    tm = TAttn().eval()
+    state = {f"blocks.blocks.0.attn.{k}": v for k, v in tm.state_dict().items()}
+    path = _save(tmp_path, state)
+
+    fm = Attention(dim, heads)
+    x = np.random.default_rng(1).standard_normal((2, n, dim)).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"blocks": {"block0": {"attn": variables["params"]}}}}
+    loaded, missing, unexpected = load_into_variables(
+        wrapped, load_torch_state_dict(path))
+    assert not unexpected and not missing, (missing, unexpected)
+    got = fm.apply({"params": loaded["params"]["blocks"]["block0"]["attn"]},
+                   jnp.asarray(x))
+    want = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_adapter_parity(tmp_path):
+    import torch.nn as tnn
+
+    dim, red = 32, 8
+
+    class TAdapter(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layer_norm = tnn.LayerNorm(dim)
+            self.ln1 = tnn.Linear(dim, red)
+            self.ln2 = tnn.Linear(red, dim)
+
+        def forward(self, x):
+            x = self.layer_norm(x)
+            return self.ln2(torch.nn.functional.gelu(self.ln1(x))) * 0.7
+
+    tm = TAdapter().eval()
+    state = {f"blocks.blocks.1.downstream_adapter.{k}": v
+             for k, v in tm.state_dict().items()}
+    path = _save(tmp_path, state)
+
+    fm = Adapter(dim, reduction_dims=red)
+    x = np.random.default_rng(2).standard_normal((2, 6, dim)).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"blocks": {"block1": {"downstream_adapter":
+                                                variables["params"]}}}}
+    loaded, missing, unexpected = load_into_variables(
+        wrapped, load_torch_state_dict(path))
+    assert not unexpected and not missing, (missing, unexpected)
+    got = fm.apply(
+        {"params": loaded["params"]["blocks"]["block1"]["downstream_adapter"]},
+        jnp.asarray(x), deterministic=True)
+    want = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_pos_embed_parity(tmp_path):
+    import torch.nn as tnn
+
+    tm = tnn.Sequential(tnn.Linear(3, 128), tnn.GELU(), tnn.Linear(128, 32)).eval()
+    state = {f"pos_embed.{k}": v for k, v in tm.state_dict().items()}
+    path = _save(tmp_path, state)
+
+    fm = PosEmbedMLP(32)
+    x = np.random.default_rng(3).standard_normal((2, 5, 3)).astype(np.float32)
+    variables = fm.init(jax.random.key(0), jnp.asarray(x))
+    wrapped = {"params": {"pos_embed": variables["params"]}}
+    loaded, missing, unexpected = load_into_variables(
+        wrapped, load_torch_state_dict(path))
+    assert not unexpected and not missing, (missing, unexpected)
+    got = fm.apply({"params": loaded["params"]["pos_embed"]}, jnp.asarray(x))
+    want = tm(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)

@@ -42,7 +42,12 @@ def fps(xyz: jnp.ndarray, n_samples: int,
       (sampled [B, n_samples, 3] same dtype as xyz, idx [B, n_samples] int32)
     """
     B, N, _ = xyz.shape
-    pts = xyz.astype(jnp.float32)
+    # The selection loop is NON-differentiable (integer argmax chain), exactly
+    # like pointnet2's furthest_point_sample; gradients flow only through the
+    # final gather. Without this stop_gradient, reverse-mode through the
+    # n_samples-iteration scan would checkpoint a [B, N] distance table per
+    # iteration (gigabytes) for an all-zero cotangent.
+    pts = jax.lax.stop_gradient(xyz).astype(jnp.float32)
 
     if valid is None:
         start = jnp.zeros((B,), jnp.int32)

@@ -135,6 +135,38 @@ def seg_miou_metrics(preds: np.ndarray, targets: np.ndarray,
     }
 
 
+class Metrics:
+    """Pluggable completion-metric table (reference ``utils/metrics.py``):
+    F-Score@0.01 (higher better), CDL1/CDL2 ×1000 (lower better). The
+    reference's EMD entry is defined but disabled (``metrics.py:37-44``);
+    here it is available via ``require_emd=True``."""
+
+    ITEMS = [
+        {"name": "F-Score", "higher_better": True},
+        {"name": "CDL1", "higher_better": False},
+        {"name": "CDL2", "higher_better": False},
+    ]
+
+    @classmethod
+    def names(cls):
+        return [item["name"] for item in cls.ITEMS]
+
+    @classmethod
+    def get(cls, pred, gt, require_emd: bool = False):
+        vals = completion_metrics(jnp.asarray(pred), jnp.asarray(gt))
+        out = [float(vals[n]) for n in cls.names()]
+        if require_emd:
+            from ..ops.emd import earth_mover_distance
+            out.append(float(earth_mover_distance(jnp.asarray(pred),
+                                                  jnp.asarray(gt))) * 1000.0)
+        return out
+
+    @classmethod
+    def better_than(cls, name: str, a: float, b: float) -> bool:
+        spec = next(i for i in cls.ITEMS if i["name"] == name)
+        return a > b if spec["higher_better"] else a < b
+
+
 class AverageMeter:
     """Multi-item running averages (``utils/AverageMeter.py``)."""
 

@@ -137,7 +137,14 @@ def build_optimizer(config, params, steps_per_epoch: int,
         chain = [optax.clip_by_global_norm(float(clip))] + chain
 
     mask = trainable_mask(params, peft_list)
-    tx = optax.masked(optax.chain(*chain), mask)
+    # multi_transform (NOT optax.masked: masked passes unmasked updates
+    # through as raw gradients) — frozen params get exact zeros, like the
+    # reference's requires_grad_(False).
+    labels = jax.tree_util.tree_map(
+        lambda m: "trainable" if m else "frozen", mask)
+    tx = optax.multi_transform(
+        {"trainable": optax.chain(*chain), "frozen": optax.set_to_zero()},
+        labels)
     return tx, sched, mask
 
 

@@ -30,9 +30,9 @@ def point_all_for(npoints: int, available: int) -> int:
     """Oversampling size before the random FPS-column pick
     (``runner_module.py:112-124``)."""
     table = {1024: 1200, 2048: 2400, 4096: 4800, 8192: 8192}
-    if npoints not in table:
-        raise NotImplementedError(f"npoints={npoints}")
-    return min(table[npoints], available)
+    # non-shipped sizes oversample by the same ~1.17x factor
+    point_all = table.get(npoints, max(int(npoints * 1.17), npoints))
+    return min(point_all, available)
 
 
 def subsample_fps_random(rng: jax.Array, pts: jnp.ndarray, npoints: int) -> jnp.ndarray:

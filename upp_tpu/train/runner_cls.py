@@ -63,9 +63,10 @@ def init_model(args, config, example_points, logger=None, peft=True):
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2), "mask": jax.random.key(3)}
     noisy = bool(config.get("noisy_train", False))
-    variables = model.init(rngs, example_points, completion_prompt=noisy,
-                           denoise=noisy, point_num=config.npoints,
-                           deterministic=True)
+    from ..models.build import jit_init
+    variables = jit_init(model, rngs, example_points, completion_prompt=noisy,
+                         denoise=noisy, point_num=int(config.npoints),
+                         deterministic=True)
     variables = dict(variables)
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):

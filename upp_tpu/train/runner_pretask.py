@@ -179,8 +179,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
     model = build_model_from_cfg(config.model)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2)}
-    variables = dict(model.init(rngs, example, point_num=npoints,
-                                train_with_gaussian=True, deterministic=False))
+    from ..models.build import jit_init
+    variables = dict(jit_init(model, rngs, example, point_num=npoints,
+                              train_with_gaussian=True, deterministic=False))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
         from .torch_ckpt import load_into_variables, load_torch_state_dict
@@ -260,8 +261,9 @@ def test_net(args, config):
     example = jnp.zeros((2, npoints + GAUSSIAN_NUM + LIDAR_NUM, 3), jnp.float32)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2)}
-    variables = dict(model.init(rngs, example, point_num=npoints,
-                                train_with_gaussian=True, deterministic=False))
+    from ..models.build import jit_init
+    variables = dict(jit_init(model, rngs, example, point_num=npoints,
+                              train_with_gaussian=True, deterministic=False))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
         from .torch_ckpt import load_into_variables, load_torch_state_dict

@@ -99,7 +99,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
     example = jnp.zeros((2, npoints, 3), jnp.float32)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2), "mask": jax.random.key(3)}
-    variables = dict(model.init(rngs, example, deterministic=False))
+    from ..models.build import jit_init
+    variables = dict(jit_init(model, rngs, example, deterministic=False))
     variables.setdefault("batch_stats", {})
 
     steps_per_epoch = max(len(train_loader), 1)

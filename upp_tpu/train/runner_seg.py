@@ -158,14 +158,15 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
     example_query = jnp.zeros((2, n_pts, 3), jnp.float32)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2)}
+    from ..models.build import jit_init
     if unify:
-        variables = dict(model.init(
-            rngs, example_pts, example_hot, example_query,
+        variables = dict(jit_init(
+            model, rngs, example_pts, example_hot, example_query,
             completion_prompt=noisy, denoise=noisy,
             point_num=n_pts - int(n_pts * 0.25), deterministic=True))
     else:
-        variables = dict(model.init(rngs, example_pts, example_hot,
-                                    example_query, deterministic=True))
+        variables = dict(jit_init(model, rngs, example_pts, example_hot,
+                                  example_query, deterministic=True))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
         from .torch_ckpt import load_into_variables, load_torch_state_dict
@@ -239,13 +240,15 @@ def test_net(args, config, unify: bool = True):
             "droppath": jax.random.key(2)}
     example_pts = jnp.zeros((2, n_pts, 3), jnp.float32)
     example_hot = jnp.zeros((2, NUM_CLASSES), jnp.float32)
+    from ..models.build import jit_init
     if unify:
-        variables = dict(model.init(rngs, example_pts, example_hot, example_pts,
-                                    completion_prompt=True, denoise=True,
-                                    point_num=n_pts, deterministic=True))
+        variables = dict(jit_init(model, rngs, example_pts, example_hot,
+                                  example_pts, completion_prompt=True,
+                                  denoise=True, point_num=n_pts,
+                                  deterministic=True))
     else:
-        variables = dict(model.init(rngs, example_pts, example_hot,
-                                    deterministic=True))
+        variables = dict(jit_init(model, rngs, example_pts, example_hot,
+                                  deterministic=True))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
         from .torch_ckpt import load_into_variables, load_torch_state_dict

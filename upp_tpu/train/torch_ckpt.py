@@ -121,7 +121,9 @@ def _translate_key(torch_key: str) -> Optional[Tuple[str, str]]:
                     return None
                 d = m.groupdict()
                 new = repl.format(**{k: v for k, v in d.items() if v is not None})
-                tail = d.get("t") or d.get("rest")
+                # '{rest}'-style patterns already embed the tail in `new`;
+                # '{t}'-style leaf patterns need it re-appended.
+                tail = d.get("t") if "{rest}" not in repl else None
                 key = f"{new}.{tail}" if tail else new
                 changed = True
                 break

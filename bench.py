@@ -79,17 +79,17 @@ def main():
     pts = shard_batch(mesh, jnp.asarray(pts_host))
     label = shard_batch(mesh, jnp.asarray(label_host))
 
-    # warmup / compile
+    # warmup / compile (value fetch forces full execution on tunneled backends)
     key = jax.random.key(1)
     state, m = train_step(state, pts, label, key)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
         state, m = train_step(state, pts, label, k)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = time.perf_counter() - t0
 
     clouds_per_sec = B * iters / dt

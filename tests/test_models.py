@@ -166,3 +166,47 @@ def test_point_transformer_seg_forward():
     variables = model.init(RNGS, pts, one_hot, deterministic=True)
     logp = model.apply(variables, pts, one_hot, deterministic=True)
     assert logp.shape == (2, 256, 50)
+
+
+def test_pointr_forward():
+    from upp_tpu.utils.config import ConfigDict
+    cfg = ConfigDict.from_nested({
+        "NAME": "PoinTr", "trans_dim": 48, "num_pred": 896,
+        "num_query": 224, "knn_layer": 1, "num_points": 512,
+    })
+    model = build_model_from_cfg(cfg)
+    pts = _pts(2, 300, 20)
+    variables = model.init(RNGS, pts, deterministic=True)
+    coarse, rebuild = model.apply(variables, pts, deterministic=True)
+    # coarse: num_query predicted + num_query fps'd input
+    assert coarse.shape == (2, 448, 3)
+    # rebuild: num_query*fold_step^2 + input
+    assert rebuild.shape == (2, 224 * 4 + 300, 3)
+    assert np.isfinite(np.asarray(rebuild)).all()
+    l1, l2 = model.get_loss((coarse, rebuild), pts)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+
+
+def test_adapointr_train_and_eval():
+    from upp_tpu.utils.config import ConfigDict
+    cfg = ConfigDict.from_nested({
+        "NAME": "AdaPoinTr", "num_query": 64, "num_points": 256,
+        "decoder_type": "fc",
+        "encoder_config": {"embed_dim": 48, "depth": 2},
+        "decoder_config": {"embed_dim": 48, "depth": 2},
+    })
+    model = build_model_from_cfg(cfg)
+    pts = _pts(2, 300, 30)
+    rngs = dict(RNGS)
+    rngs["denoise"] = jax.random.key(9)
+    variables = model.init(rngs, pts, deterministic=False)
+    out, _ = model.apply(variables, pts, deterministic=False, rngs=rngs,
+                         mutable=["batch_stats"])
+    pred_coarse, den_coarse, den_fine, pred_fine = out
+    assert pred_coarse.shape == (2, 64, 3)
+    assert pred_fine.shape == (2, 64 * 4, 3)   # factor = 256//64
+    loss_d, loss_r = model.apply(variables, out, pts, method="get_loss")
+    assert np.isfinite(float(loss_d)) and np.isfinite(float(loss_r))
+    coarse, rebuild = model.apply(variables, pts, deterministic=True)
+    assert coarse.shape == (2, 64, 3)
+    assert rebuild.shape == (2, 256, 3)

@@ -100,11 +100,16 @@ def test_unify_params_contain_all_paths():
     for needle in ["rectify_prompts", "pretask_prompts", "downstream_prompts",
                    "rectify_adapter", "pretask_adapter", "downstream_adapter",
                    "rectify_prompter", "mask_token", "cls_token",
-                   "cls_head_finetune"]:
+                   "cls_head_finetune", "bnorm"]:
         assert needle in joined, f"missing {needle}"
-    # all 4 backbone blocks materialised despite truncated paths
-    for i in range(4):
-        assert f"block{i}" in joined
+    # stacked backbone params cover all `depth` blocks
+    flat_map = {"/".join(str(k) for k in path): v for path, v in flat}
+    qkv = [v for k, v in flat_map.items() if "attn_qkv_kernel" in k
+           and "MAE_decoder" not in k][0]
+    assert qkv.shape[0] == 4  # depth
+    # per-path stacks sized by their prompt/adapter depths
+    dp = [v for k, v in flat_map.items() if "downstream_prompts" in k][0]
+    assert dp.shape[0] == 2   # downstream_prompts_depth
 
 
 def test_pretask_model_train_and_eval():

@@ -17,7 +17,8 @@ from flax import linen as nn
 
 from ..ops.chamfer import chamfer_l1, chamfer_l2
 from ..ops.group import group_points
-from .blocks import PrompterConfig, TransformerEncoderStack, TransformerDecoderStack
+from .blocks import PrompterConfig
+from .scan_blocks import ScannedDecoderStack, ScannedEncoderStack
 from .build import MODELS
 from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP, trunc_normal_init
@@ -39,12 +40,12 @@ class PointMAE(nn.Module):
         self.mask_ratio = tc.mask_ratio
         self.encoder = Encoder(tc.encoder_dims)
         self.pos_embed = PosEmbedMLP(tc.trans_dim)
-        self.blocks = TransformerEncoderStack(
+        self.blocks = ScannedEncoderStack(
             embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
             drop_path_rate=tc.drop_path_rate)
         self.norm = nn.LayerNorm()
         self.decoder_pos_embed = PosEmbedMLP(tc.trans_dim)
-        self.MAE_decoder = TransformerDecoderStack(
+        self.MAE_decoder = ScannedDecoderStack(
             embed_dim=tc.trans_dim, depth=tc.decoder_depth,
             num_heads=tc.decoder_num_heads, drop_path_rate=tc.drop_path_rate)
         self.increase_dim = nn.Dense(3 * self.group_size, name="increase_dim_conv")
@@ -111,7 +112,7 @@ class PointTransformer(nn.Module):
         self.trans_dim = cfg.trans_dim
         self.encoder = Encoder(cfg.encoder_dims)
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
-        self.blocks = TransformerEncoderStack(
+        self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             drop_path_rate=cfg.drop_path_rate)
         self.norm = nn.LayerNorm()

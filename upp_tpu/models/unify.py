@@ -28,8 +28,8 @@ from ..ops.fps import fps
 from ..ops.group import group_points
 from ..ops.knn import knn_points
 from ..ops.propagate import propagate
-from .blocks import (PrompterConfig, PromptedBlock, TransformerDecoderStack,
-                     TransformerEncoderStack)
+from .blocks import PrompterConfig
+from .scan_blocks import ScannedDecoderStack, ScannedEncoderStack
 from .build import MODELS
 from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP, TwoLayerHead, kaiming_uniform_a5, trunc_normal_init
@@ -76,7 +76,7 @@ class _UnifyCore(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.encoder_dims)
         self.pos_embed = PosEmbedMLP(self.trans_dim)
-        self.blocks = TransformerEncoderStack(
+        self.blocks = ScannedEncoderStack(
             embed_dim=self.trans_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=self.drop_path_rate, prompter=self.prompter)
         self.norm = nn.LayerNorm()
@@ -85,7 +85,7 @@ class _UnifyCore(nn.Module):
             self.trans_dim, 3 * (self.num_group - self.vis_num))
         self.predict_token_generator = TwoLayerHead(128, self.trans_dim)
         self.decoder_pos_embed = PosEmbedMLP(self.trans_dim)
-        self.MAE_decoder = TransformerDecoderStack(
+        self.MAE_decoder = ScannedDecoderStack(
             embed_dim=self.trans_dim, depth=self.decoder_depth,
             num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate)
         self.dense_pred = nn.Dense(3 * self.group_size, name="dense_pred_conv")

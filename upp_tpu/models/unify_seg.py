@@ -19,7 +19,8 @@ from flax import linen as nn
 
 from ..ops.fps import fps
 from ..ops.group import group_points
-from .blocks import PrompterConfig, TransformerEncoderStack
+from .blocks import PrompterConfig
+from .scan_blocks import ScannedEncoderStack
 from .build import MODELS
 from ..utils.config import to_config
 from .layers import Encoder, PosEmbedMLP
@@ -152,7 +153,7 @@ class PointTransformerSeg(nn.Module):
         cfg = to_config(self.config)
         self.encoder = Encoder(cfg.encoder_dims)
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
-        self.blocks = TransformerEncoderStack(
+        self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             drop_path_rate=cfg.drop_path_rate)
         self.label_conv = LabelConv()

@@ -32,10 +32,20 @@ def inverse_distance_interp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
       [B, N, D] interpolated features.
     """
     d = square_distance(xyz1, xyz2)                     # [B, N, S]
-    kk = min(k, xyz2.shape[1])
+    S = xyz2.shape[1]
+    kk = min(k, S)
     neg, idx = jax.lax.top_k(-d, kk)                    # ascending distances
     w = 1.0 / ((-neg) + eps)                            # [B, N, k]
     w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if S <= 256:
+        # small source set: express the weighted gather as a dense [N, S]
+        # mixing matrix → one MXU matmul. Backward is a matmul too, avoiding
+        # TPU scatter-adds (and a distinct gather HLO, which is slow to
+        # compile on this backend).
+        mix = jnp.sum((idx[..., None] == jnp.arange(S)) * w[..., None],
+                      axis=2)                            # [B, N, S]
+        return jnp.einsum("bns,bsd->bnd", mix, feats2,
+                          preferred_element_type=jnp.float32)
     gathered = index_points(feats2, idx)                # [B, N, k, D]
     return jnp.sum(gathered * w[..., None], axis=2)
 

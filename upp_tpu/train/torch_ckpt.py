@@ -54,9 +54,6 @@ _SEQ_RENAMES = [
     # pos embeds / two-layer heads (Linear-GELU-Linear Sequentials)
     (re.compile(r"^(?P<p>.*?)(?P<m>pos_embed|decoder_pos_embed|shape_pred|coarse_pred|predict_token_generator)\.0\.(?P<t>weight|bias)$"), "{p}{m}/lin0"),
     (re.compile(r"^(?P<p>.*?)(?P<m>pos_embed|decoder_pos_embed|shape_pred|coarse_pred|predict_token_generator)\.2\.(?P<t>weight|bias)$"), "{p}{m}/lin1"),
-    # transformer blocks: blocks.blocks.i.* / MAE_decoder.blocks.i.*
-    (re.compile(r"^(?P<p>.*?)blocks\.blocks\.(?P<i>\d+)\.(?P<rest>.+)$"), "{p}blocks/block{i}/{rest}"),
-    (re.compile(r"^(?P<p>.*?)MAE_decoder\.blocks\.(?P<i>\d+)\.(?P<rest>.+)$"), "{p}MAE_decoder/block{i}/{rest}"),
     (re.compile(r"^(?P<p>.*?)MAE_decoder\.norm\.(?P<t>.+)$"), "{p}MAE_decoder/norm"),
     # dense prediction conv heads
     (re.compile(r"^(?P<p>.*?)dense_pred\.0\.(?P<t>weight|bias)$"), "{p}dense_pred_conv"),
@@ -86,6 +83,58 @@ _SEQ_RENAMES = [
     (re.compile(r"^seg_head\.5\.(?P<t>.+)$"), "seg_head/bn1"),
     (re.compile(r"^seg_head\.7\.(?P<t>weight|bias)$"), "seg_head/conv2"),
 ]
+
+# per-block leaf → (stacked name, collection, transpose) for the scanned stacks
+_BLOCK_LEAF_MAP = {
+    "norm1.weight": ("norm1_scale", "params", False),
+    "norm1.bias": ("norm1_bias", "params", False),
+    "norm2.weight": ("norm2_scale", "params", False),
+    "norm2.bias": ("norm2_bias", "params", False),
+    "attn.qkv.weight": ("attn_qkv_kernel", "params", True),
+    "attn.proj.weight": ("attn_proj_kernel", "params", True),
+    "attn.proj.bias": ("attn_proj_bias", "params", False),
+    "mlp.fc1.weight": ("mlp_fc1_kernel", "params", True),
+    "mlp.fc1.bias": ("mlp_fc1_bias", "params", False),
+    "mlp.fc2.weight": ("mlp_fc2_kernel", "params", True),
+    "mlp.fc2.bias": ("mlp_fc2_bias", "params", False),
+    "bnorm.weight": ("bnorm_scale", "params", False),
+    "bnorm.bias": ("bnorm_bias", "params", False),
+    "bnorm.running_mean": ("bnorm_mean", "batch_stats", False),
+    "bnorm.running_var": ("bnorm_var", "batch_stats", False),
+}
+for _p in ("rectify", "pretask", "downstream"):
+    _BLOCK_LEAF_MAP.update({
+        f"{_p}_adapter.layer_norm.weight": (f"{_p}_adapter_layer_norm_scale", "params", False),
+        f"{_p}_adapter.layer_norm.bias": (f"{_p}_adapter_layer_norm_bias", "params", False),
+        f"{_p}_adapter.ln1.weight": (f"{_p}_adapter_ln1_kernel", "params", True),
+        f"{_p}_adapter.ln1.bias": (f"{_p}_adapter_ln1_bias", "params", False),
+        f"{_p}_adapter.ln2.weight": (f"{_p}_adapter_ln2_kernel", "params", True),
+        f"{_p}_adapter.ln2.bias": (f"{_p}_adapter_ln2_bias", "params", False),
+        f"{_p}_prompts": (f"{_p}_prompts", "params", False),
+    })
+
+_BLOCK_RE = re.compile(r"^(?P<pre>(?:MAE_decoder\.)?)blocks\.(?P<i>\d+)\.(?P<rest>.+)$")
+
+
+def _translate_stacked(torch_key: str):
+    """blocks.blocks.{i}.rest / MAE_decoder.blocks.{i}.rest →
+    (flax_prefix, stacked_name, collection, row, transpose) or None."""
+    key = torch_key
+    if key.startswith("blocks.blocks."):
+        prefix, rem = "blocks", key[len("blocks.blocks."):]
+    elif key.startswith("MAE_decoder.blocks."):
+        prefix, rem = "MAE_decoder/blocks", key[len("MAE_decoder.blocks."):]
+    else:
+        return None
+    i_str, _, rest = rem.partition(".")
+    entry = _BLOCK_LEAF_MAP.get(rest)
+    if entry is None:
+        if rest.endswith("num_batches_tracked") or ".scale." in rest:
+            return ("DROP",)
+        return ("UNEXPECTED",)
+    name, coll, transpose = entry
+    return (prefix, name, coll, int(i_str), transpose)
+
 
 # members that live under `core/` in the unify/pretask/seg flax trees
 _CORE_MEMBERS = ("encoder", "pos_embed", "blocks", "norm", "shape_pred",
@@ -176,6 +225,31 @@ def load_into_variables(variables, state: Dict[str, np.ndarray],
     new_stats = dict(flat_stats)
 
     for tk, arr in state.items():
+        st = _translate_stacked(tk)
+        if st is not None:
+            if st[0] == "DROP":
+                continue
+            if st[0] == "UNEXPECTED":
+                unexpected.append(tk)
+                continue
+            prefix, name, coll, row, transpose = st
+            target = new_params if coll == "params" else new_stats
+            cand = _resolve(f"{prefix}/{name}", target)
+            if cand is None:
+                unexpected.append(tk)
+                continue
+            val = np.squeeze(arr)
+            if transpose and val.ndim == 2:
+                val = val.T
+            stack = np.array(target[cand])
+            if row >= stack.shape[0] or tuple(val.shape) != tuple(stack.shape[1:]):
+                unexpected.append(tk)
+                continue
+            stack[row] = val
+            target[cand] = stack
+            hit.add(("params" if coll == "params" else "stats", cand))
+            continue
+
         tr = _translate_key(tk)
         if tr is None:
             continue

@@ -83,14 +83,21 @@ def main():
     key = jax.random.key(1)
     state, m = train_step(state, pts, label, key)
     float(m["loss"])
+    state, m = train_step(state, pts, label, key)
+    float(m["loss"])
 
     iters = 10
+    per_call = []
     t0 = time.perf_counter()
     for i in range(iters):
         key, k = jax.random.split(key)
+        t1 = time.perf_counter()
         state, m = train_step(state, pts, label, k)
-    float(m["loss"])
+        float(m["loss"])
+        per_call.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
+    import sys
+    print("per-call ms:", [f"{t*1000:.0f}" for t in per_call], file=sys.stderr)
 
     clouds_per_sec = B * iters / dt
     per_chip = clouds_per_sec / n_devices

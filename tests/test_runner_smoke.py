@@ -1,0 +1,89 @@
+"""End-to-end smoke runs for the pretask and segmentation runners (synthetic
+data, tiny models, 1-2 epochs) — SURVEY.md §4d."""
+
+import types
+
+import jax
+import numpy as np
+import pytest
+
+from upp_tpu.utils.config import ConfigDict
+
+
+def _args(tmp_path, **kw):
+    base = dict(seed=0, ckpts=None, resume=False, peft_model=True,
+                incomplete_cropping=True, incomplete_shape=True, noise=True,
+                noise_type=["gaussian_noise", "lidar_noise"], normalize=False,
+                joint_optimization=-1, val_freq=1, vote=False, mode=None,
+                deviation=0.1, noise_radius=0.8,
+                experiment_path=str(tmp_path), log_name="test")
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def _transformer(dim=48, depth=4):
+    return {"mask_ratio": 0.5, "mask_type": "rand", "trans_dim": dim,
+            "encoder_dims": dim, "depth": depth, "drop_path_rate": 0.1,
+            "num_heads": 4, "decoder_depth": 2, "decoder_num_heads": 4}
+
+
+def _prompter(downstream=True):
+    p = {"rectify_adapter": True, "rectify_prompts": True,
+         "rectify_prompts_num": 2, "rectify_prompts_depth": 2,
+         "rectify_depth": 2, "pretask_adapter": True, "pretask_prompts": True,
+         "pretask_prompts_num": 2, "pretask_prompts_depth": 3,
+         "pretask_depth": 3}
+    if downstream:
+        p.update({"downstream_adapter": True, "downstream_prompts": True,
+                  "downstream_prompts_num": 2, "downstream_prompts_depth": 2,
+                  "downstream_depth": 4})
+    return p
+
+
+def test_pretask_runner_smoke(tmp_path):
+    from upp_tpu.train import runner_pretask
+    ds = {"NAME": "Synthetic", "N_POINTS": 512, "NUM_CATEGORY": 4, "SIZE": 16}
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 5, "initial_epochs": 0}},
+        "dataset": {
+            "train": {"_base_": ds, "others": {"subset": "train", "bs": 8}},
+            "val": {"_base_": ds, "others": {"subset": "test", "bs": 8}},
+            "test": {"_base_": ds, "others": {"subset": "test", "bs": 8}},
+        },
+        "model": {"NAME": "Point_MAE_pretask_dev", "group_size": 8,
+                  "num_group": 16, "loss": "cdl2",
+                  "transformer_config": _transformer(),
+                  "prompter_config": _prompter(downstream=False),
+                  "gather_idx": True, "prompt_propagation_after": True},
+        "npoints": 128, "total_bs": 8, "step_per_update": 1, "max_epoch": 0,
+        "task": "pretask", "data_augmentation": "scale-translate",
+    })
+    best = runner_pretask.run_net(_args(tmp_path), config)
+    assert np.isfinite(best.cd)
+
+
+def test_seg_runner_smoke(tmp_path):
+    from upp_tpu.train import runner_seg
+    ds = {"NAME": "SyntheticPart", "N_POINTS": 256, "SIZE": 16}
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 2e-4, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 5, "initial_epochs": 0}},
+        "dataset": {
+            "train": {"_base_": ds, "others": {"subset": "trainval", "bs": 8}},
+            "val": {"_base_": ds, "others": {"subset": "test", "bs": 8}},
+            "test": {"_base_": ds, "others": {"subset": "test", "bs": 8}},
+        },
+        "model": {"NAME": "Point_MAE_unify_seg", "cls_dim": 50,
+                  "group_size": 8, "num_group": 16,
+                  "transformer_config": _transformer(),
+                  "prompter_config": _prompter(),
+                  "gather_idx": True, "prompt_propagation_after": False},
+        "npoints": 256, "total_bs": 8, "step_per_update": 1, "max_epoch": 0,
+        "grad_norm_clip": 10, "task": "segmentation",
+        "data_augmentation": "scale-translate",
+        "noisy_train": True, "noisy_validate": False,
+    })
+    metrics = runner_seg.run_net(_args(tmp_path), config)
+    assert 0.0 <= metrics["accuracy"] <= 1.0
+    assert 0.0 <= metrics["instance_avg_iou"] <= 1.0

@@ -55,12 +55,32 @@ def _viewpoint_split(key: jax.Array, points: jnp.ndarray,
     return jnp.argsort(d)
 
 
-@partial(jax.jit, static_argnames=("sample_points", "resample"))
 def separate_point_cloud(key: jax.Array, xyz: jnp.ndarray, num_crop,
                          sample_points: int = 1024,
                          fixed_viewpoint: Optional[jnp.ndarray] = None,
                          resample: bool = True
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if resample:
+        return _separate_resampled(key, xyz, num_crop, sample_points,
+                                   fixed_viewpoint)
+    # raw split: num_crop must be a Python int (static output shapes)
+    return _separate_raw(key, xyz, int(num_crop), fixed_viewpoint)
+
+
+@partial(jax.jit, static_argnames=("num_crop",))
+def _separate_raw(key, xyz, num_crop: int, fixed_viewpoint=None):
+    B, N, _ = xyz.shape
+    keys = jax.random.split(key, B)
+    order = jax.vmap(lambda k, p: _viewpoint_split(k, p, fixed_viewpoint))(keys, xyz)
+    sorted_pts = jnp.take_along_axis(xyz, order[..., None], axis=1)
+    return sorted_pts[:, num_crop:], sorted_pts[:, :num_crop]
+
+
+@partial(jax.jit, static_argnames=("sample_points",))
+def _separate_resampled(key: jax.Array, xyz: jnp.ndarray, num_crop,
+                        sample_points: int = 1024,
+                        fixed_viewpoint: Optional[jnp.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Viewpoint crop → (partial, crop), both FPS-resampled to ``sample_points``.
 
     Static-shape reimplementation of ``misc.seprate_point_cloud``
@@ -83,9 +103,6 @@ def separate_point_cloud(key: jax.Array, xyz: jnp.ndarray, num_crop,
     keys = jax.random.split(key, B)
     order = jax.vmap(lambda k, p: _viewpoint_split(k, p, fixed_viewpoint))(keys, xyz)
     sorted_pts = jnp.take_along_axis(xyz, order[..., None], axis=1)   # [B, N, 3]
-    if not resample:
-        nc = int(num_crop)
-        return sorted_pts[:, nc:], sorted_pts[:, :nc]
     pos = jnp.arange(N)[None, :]
     partial_valid = pos >= num_crop        # farthest N - num_crop points
     crop_valid = pos < num_crop

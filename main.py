@@ -37,7 +37,9 @@ def main():
     log_config_to_file(config, "config", logger=logger)
 
     from upp_tpu.train import runner_cls, runner_pretask, runner_pretrain, runner_seg
+    from upp_tpu.utils.writer import make_writers
 
+    train_writer, val_writer = (None, None) if args.test else make_writers(args)
     task = config.task
     if args.test:
         if task == "segmentation":
@@ -48,9 +50,9 @@ def main():
             runner_cls.test_net(args, config)
     elif task == "classification":
         if args.finetune_model:
-            runner_cls.finetune_run_net(args, config)
+            runner_cls.finetune_run_net(args, config, train_writer, val_writer)
         else:
-            runner_cls.run_net(args, config)
+            runner_cls.run_net(args, config, train_writer, val_writer)
     elif task == "segmentation":
         if args.finetune_model:
             runner_seg.finetune_run_net(args, config)

@@ -211,11 +211,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
         train_loader.set_epoch(epoch)
         losses = AverageMeter(["loss", "acc"])
         t0 = time.time()
-        for pts, label in train_loader:
+        for batch_idx, (pts, label) in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
             state, m = train_step(state, batch[0], batch[1], step_rng)
             losses.update([float(m["loss"]), float(m["acc"])])
+            if train_writer is not None:
+                n_itr = epoch * steps_per_epoch + batch_idx
+                train_writer.add_scalar("Loss/Batch/Loss", float(m["loss"]), n_itr)
+                train_writer.add_scalar("Loss/Batch/TrainAcc", float(m["acc"]), n_itr)
+                train_writer.add_scalar("Loss/Batch/LR", float(sched(int(state.step))), n_itr)
 
         # joint optimization: unfreeze prompters (runner_module.py:230-244)
         if epoch == joint_epoch:
@@ -230,10 +235,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,
                    ["%.4f" % v for v in losses.avg()]), logger=logger)
+        if train_writer is not None:
+            train_writer.add_scalar("Loss/Epoch/Loss", losses.avg(0), epoch)
 
         if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0 and epoch != 0:
             metrics = validate(eval_step, state, val_loader, mesh, epoch,
                                logger=logger)
+            if val_writer is not None:
+                val_writer.add_scalar("Metric/ACC", metrics.acc, epoch)
             if metrics.better_than(best):
                 best = metrics
                 ckpt_io.save_checkpoint(state, epoch, "ckpt-best",

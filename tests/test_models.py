@@ -215,3 +215,21 @@ def test_adapointr_train_and_eval():
     coarse, rebuild = model.apply(variables, pts, deterministic=True)
     assert coarse.shape == (2, 64, 3)
     assert rebuild.shape == (2, 256, 3)
+
+
+def test_pretask_legacy_model():
+    cfg = small_model_cfg("Point_MAE_pretask", with_downstream=False)
+    model = build_model_from_cfg(cfg)
+    point_num = 128
+    pts = _pts(2, point_num + 20, 40)
+    variables = model.init(RNGS, pts, point_num=point_num,
+                           train_with_gaussian=True, deterministic=False)
+    out, _ = model.apply(variables, pts, point_num=point_num,
+                         train_with_gaussian=True, deterministic=False,
+                         rngs=RNGS, mutable=["batch_stats"])
+    predict_center, rebuild, noise_loss, recall = out
+    assert predict_center.shape == (2, 8, 3)
+    assert np.isfinite(float(noise_loss))
+    pc, rb = model.apply(variables, pts, point_num=point_num,
+                         train_with_gaussian=False, deterministic=True)
+    assert rb.shape[-1] == 3

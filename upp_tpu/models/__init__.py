@@ -5,3 +5,4 @@ from . import unify_seg  # noqa: F401  (registers Point_MAE_unify_seg, PointTran
 from . import pointr  # noqa: F401  (registers PoinTr)
 from . import adapointr  # noqa: F401  (registers AdaPoinTr)
 from . import adapter_super  # noqa: F401
+from . import pretask_legacy  # noqa: F401  (registers Point_MAE_pretask)

@@ -32,10 +32,11 @@ def fps(xyz: jnp.ndarray, n_samples: int,
         valid: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample ``n_samples`` points per cloud by furthest point sampling.
 
-    Dispatches to the fused Pallas kernel on TPU backends (6x the XLA
-    while-loop formulation: the [B, N] distance table stays in VMEM for all
-    iterations — see ops/fps_pallas.py) and to the portable XLA formulation
-    elsewhere. Both are index-identical.
+    Default: the portable XLA while-loop formulation. With
+    UPP_ENABLE_PALLAS_FPS=1 on TPU backends, dispatches to the fused Pallas
+    kernel instead (6x faster — the [B, N] distance table stays in VMEM for
+    all iterations, see ops/fps_pallas.py; currently opt-in due to axon
+    runtime instability). Both are index-identical.
 
     Args:
       xyz:   [B, N, 3] point clouds (any float dtype; distances in f32).
@@ -45,7 +46,13 @@ def fps(xyz: jnp.ndarray, n_samples: int,
     Returns:
       (sampled [B, n_samples, 3] same dtype as xyz, idx [B, n_samples] int32)
     """
-    if jax.default_backend() != "cpu":
+    import os
+    # The fused kernel is 6x faster but the experimental axon Mosaic runtime
+    # intermittently faults under sustained invocation (TPU worker crash,
+    # ~1/25 calls at some shapes) — opt-in via UPP_ENABLE_PALLAS_FPS=1 until
+    # the toolchain stabilises. Index-parity with the XLA path is tested.
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("UPP_ENABLE_PALLAS_FPS")):
         from .fps_pallas import fps_pallas
         return fps_pallas(xyz, n_samples, valid)
     return _fps_xla(xyz, n_samples, valid)

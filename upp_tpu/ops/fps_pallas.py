@@ -44,13 +44,18 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n_samples), 1)
 
-    # start = first valid slot per row (0 when unmasked)
+    # start = first valid slot per row (0 when unmasked). The fori carry is a
+    # full (TILE_B, 128) lane tile: (TILE_B, 1) scalars-per-row int tensors
+    # are below the int32 tile minimum and intermittently mis-lower on this
+    # toolchain (observed sporadic TPU worker faults).
+    lane = 128
     start = jnp.min(jnp.where(init > 0.0, iota_n, n), axis=1, keepdims=True)
-    start = start.astype(jnp.int32)
+    start = jnp.broadcast_to(start.astype(jnp.int32), (tile_b, lane))
 
-    def body(i, cur):
+    def body(i, cur_full):
+        cur = cur_full[:, :1]                                    # [TILE_B, 1]
         idx_ref[:] = jnp.where(iota_s == i, cur, idx_ref[:])
-        sel = (iota_n == cur).astype(x.dtype)                   # [TILE_B, N]
+        sel = (iota_n == cur).astype(x.dtype)                    # [TILE_B, N]
         cx = jnp.sum(x * sel, axis=1, keepdims=True)
         cy = jnp.sum(y * sel, axis=1, keepdims=True)
         cz = jnp.sum(z * sel, axis=1, keepdims=True)
@@ -59,7 +64,8 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
         dists_ref[:] = nd
         m = jnp.max(nd, axis=1, keepdims=True)
         cand = jnp.where(nd == m, iota_n, n)
-        return jnp.min(cand, axis=1, keepdims=True).astype(jnp.int32)
+        nxt = jnp.min(cand, axis=1, keepdims=True).astype(jnp.int32)
+        return jnp.broadcast_to(nxt, (tile_b, lane))
 
     jax.lax.fori_loop(0, n_samples, body, start)
 

@@ -211,6 +211,9 @@ def run_net(args, config, train_writer=None, val_writer=None):
         train_loader.set_epoch(epoch)
         losses = AverageMeter(["loss", "acc"])
         t0 = time.time()
+        # LR is a per-epoch constant (per-epoch stepping, builder.py:66-75);
+        # resolve it once on the host instead of a device call per batch
+        lr_epoch = float(sched(epoch * steps_per_epoch))
         for batch_idx, (pts, label) in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
@@ -220,7 +223,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 n_itr = epoch * steps_per_epoch + batch_idx
                 train_writer.add_scalar("Loss/Batch/Loss", float(m["loss"]), n_itr)
                 train_writer.add_scalar("Loss/Batch/TrainAcc", float(m["acc"]), n_itr)
-                train_writer.add_scalar("Loss/Batch/LR", float(sched(int(state.step))), n_itr)
+                train_writer.add_scalar("Loss/Batch/LR", lr_epoch, n_itr)
 
         # joint optimization: unfreeze prompters (runner_module.py:230-244)
         if epoch == joint_epoch:

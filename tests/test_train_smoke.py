@@ -106,6 +106,15 @@ def test_peft_run_net_trains_and_freezes_backbone(tmp_path):
     assert changed > 0, "no trainable parameter moved"
 
 
+def test_clean_path_run_net(tmp_path):
+    """noisy_train=False branch: FPS-subsample pipeline + downstream-only pass
+    (regression for the clean-path program)."""
+    config = tiny_config(tmp_path, noisy=False, max_epoch=1)
+    args = tiny_args(tmp_path)
+    best = runner_cls.run_net(args, config)
+    assert best.acc >= 0.0
+
+
 def test_eval_and_vote(tmp_path):
     config = tiny_config(tmp_path, max_epoch=1)
     args = tiny_args(tmp_path)

@@ -1,0 +1,87 @@
+"""Smoke coverage for the remaining runners: MAE pretraining (+SVM probe),
+classification test_net, and the visualization runner."""
+
+import os
+import types
+
+import numpy as np
+import pytest
+
+from upp_tpu.utils.config import ConfigDict
+
+
+def _args(tmp_path, **kw):
+    base = dict(seed=0, ckpts=None, resume=False, peft_model=True,
+                incomplete_cropping=True, incomplete_shape=True, noise=True,
+                noise_type=["gaussian_noise", "lidar_noise"], normalize=False,
+                joint_optimization=-1, val_freq=1, vote=True, mode=None,
+                experiment_path=str(tmp_path), log_name="test")
+    base.update(kw)
+    return types.SimpleNamespace(**base)
+
+
+def _ds(n_points=256, size=16):
+    return {"NAME": "Synthetic", "N_POINTS": n_points, "NUM_CATEGORY": 4,
+            "SIZE": size}
+
+
+def _transformer(dim=48, depth=2):
+    return {"mask_ratio": 0.5, "mask_type": "rand", "trans_dim": dim,
+            "encoder_dims": dim, "depth": depth, "drop_path_rate": 0.1,
+            "num_heads": 4, "decoder_depth": 2, "decoder_num_heads": 4}
+
+
+def test_pretrain_runner_and_svm_probe(tmp_path):
+    from upp_tpu.train import runner_pretrain
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 5, "initial_epochs": 0}},
+        "dataset": {s: {"_base_": _ds(), "others": {"subset": "train" if s == "train" else "test", "bs": 8}}
+                    for s in ("train", "val", "test")},
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2", "transformer_config": _transformer()},
+        "npoints": 128, "total_bs": 8, "step_per_update": 1, "max_epoch": 1,
+        "task": "pretrain", "data_augmentation": "scale-translate",
+    })
+    state = runner_pretrain.run_net(_args(tmp_path), config)
+    assert state is not None
+
+    # SVM linear probe over the pretrained encoder features
+    from upp_tpu.models import build_model_from_cfg
+    model = build_model_from_cfg(config.model)
+    tr = BatchLoader(build_dataset_from_cfg(_ds(size=16), {"subset": "train"}), 8)
+    te = BatchLoader(build_dataset_from_cfg(_ds(size=16), {"subset": "test"}), 8)
+    acc = runner_pretrain.svm_probe(model, state, tr, te, npoints=128)
+    assert 0.0 <= acc <= 100.0
+
+
+def test_cls_test_net_from_scratch(tmp_path):
+    from upp_tpu.train import runner_cls
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 5e-4, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 5, "initial_epochs": 1}},
+        "dataset": {s: {"_base_": _ds(512), "others": {"subset": "test", "bs": 8}}
+                    for s in ("train", "val", "test")},
+        "model": {"NAME": "PointTransformer", "trans_dim": 48, "depth": 2,
+                  "drop_path_rate": 0.1, "cls_dim": 4, "num_heads": 4,
+                  "group_size": 8, "num_group": 16, "encoder_dims": 48},
+        "npoints": 128, "total_bs": 8, "step_per_update": 1, "max_epoch": 1,
+        "task": "classification", "noisy_train": False, "noisy_validate": False,
+    })
+    args = _args(tmp_path, peft_model=False, finetune_model=True, vote=True)
+    metrics = runner_cls.test_net(args, config)
+    assert 0.0 <= metrics.acc <= 100.0
+
+
+def test_vis_runner(tmp_path):
+    from upp_tpu.train import runner_vis
+    config = ConfigDict.from_nested({
+        "dataset": {"test": {"_base_": _ds(256, 4), "others": {"subset": "test", "bs": 1}}},
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2", "transformer_config": _transformer()},
+        "npoints": 128,
+    })
+    runner_vis.test_net(_args(tmp_path), config, max_items=2)
+    vis = os.path.join(str(tmp_path), "vis")
+    assert len([f for f in os.listdir(vis) if f.endswith(".npy")]) == 2

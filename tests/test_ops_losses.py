@@ -107,3 +107,35 @@ def test_match_cost_custom_vjp_matches_formula():
     want2 = 2 * (b[0] * mn.sum(0)[:, None] - mn.T @ a[0])
     np.testing.assert_allclose(np.asarray(g1)[0], want1, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g2)[0], want2, rtol=1e-4, atol=1e-5)
+
+
+def test_emd_close_to_optimal_assignment():
+    """approx_match cost is near the true optimal transport cost computed by
+    scipy's Hungarian algorithm on equal-size clouds."""
+    from scipy.optimize import linear_sum_assignment
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((2, 24, 3)).astype(np.float32)
+    b = rng.standard_normal((2, 24, 3)).astype(np.float32)
+    approx = np.asarray(earth_mover_distance(jnp.asarray(a), jnp.asarray(b),
+                                             reduce_mean=False))
+    for i in range(2):
+        cost_mat = ((a[i][:, None, :] - b[i][None, :, :]) ** 2).sum(-1)
+        r, c = linear_sum_assignment(cost_mat)
+        optimal = cost_mat[r, c].sum() / 24.0
+        assert approx[i] >= optimal - 1e-4   # can't beat optimal
+        # the Fan/Mo auction heuristic (same algorithm as the CUDA kernel) is
+        # loose on unstructured gaussian clouds; observed ~1.6x optimal there
+        assert approx[i] <= optimal * 2.0
+
+
+def test_chamfer_both_masks():
+    a = _rand((1, 10, 3), 20)
+    b = _rand((1, 12, 3), 21)
+    pa = np.concatenate([a, np.full((1, 6, 3), 9.0, np.float32)], 1)
+    pb = np.concatenate([b, np.full((1, 4, 3), -9.0, np.float32)], 1)
+    va = np.arange(16)[None] < 10
+    vb = np.arange(16)[None] < 12
+    got = float(chamfer_l2(jnp.asarray(pa), jnp.asarray(pb),
+                           valid1=jnp.asarray(va), valid2=jnp.asarray(vb)))
+    want = float(chamfer_l2(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -89,6 +89,9 @@ class ScannedEncoderStack(nn.Module):
     drop_path_rate: float = 0.0
     prompter: PrompterConfig = PrompterConfig()
     is_decoder: bool = False  # decoder variant: pretask adapters in ALL blocks
+    # bf16 matmuls with f32 accumulation (the reference's `if_half` knob);
+    # LayerNorm/softmax/residual math stays f32.
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         L, C = self.depth, self.embed_dim
@@ -262,25 +265,35 @@ class ScannedEncoderStack(nn.Module):
         B, N, C = x.shape
         H = self.num_heads
         hd = C // H
+        cd = self.compute_dtype
         h = _layer_norm(x, sl["norm1_scale"], sl["norm1_bias"])
-        qkv = (h @ sl["attn_qkv_kernel"]).reshape(B, N, 3, H, hd)
+        qkv = jnp.einsum("bnc,ck->bnk", h.astype(cd),
+                         sl["attn_qkv_kernel"].astype(cd),
+                         preferred_element_type=jnp.float32)
+        qkv = qkv.reshape(B, N, 3, H, hd)
         qkv = qkv.transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        q, k, v = qkv[0].astype(cd), qkv[1].astype(cd), qkv[2].astype(cd)
         attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                           preferred_element_type=jnp.float32) * hd ** -0.5
         attn = jax.nn.softmax(attn, axis=-1)
-        h = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+        h = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(cd), v,
                        preferred_element_type=jnp.float32)
         h = h.transpose(0, 2, 1, 3).reshape(B, N, C)
-        h = h @ sl["attn_proj_kernel"] + sl["attn_proj_bias"]
+        h = jnp.einsum("bnc,ck->bnk", h.astype(cd),
+                       sl["attn_proj_kernel"].astype(cd),
+                       preferred_element_type=jnp.float32) + sl["attn_proj_bias"]
         x = x + _drop_path(h, dp_rate, rng, deterministic, salt=0)
 
         # MLP
         h = _layer_norm(x, sl["norm2_scale"], sl["norm2_bias"])
-        h = h @ sl["mlp_fc1_kernel"] + sl["mlp_fc1_bias"]
+        h = jnp.einsum("bnc,ck->bnk", h.astype(cd),
+                       sl["mlp_fc1_kernel"].astype(cd),
+                       preferred_element_type=jnp.float32) + sl["mlp_fc1_bias"]
         h = jax.nn.gelu(h, approximate=False)
         h = _dropout(h, self.drop, rng, deterministic, salt=1)
-        h = h @ sl["mlp_fc2_kernel"] + sl["mlp_fc2_bias"]
+        h = jnp.einsum("bnc,ck->bnk", h.astype(cd),
+                       sl["mlp_fc2_kernel"].astype(cd),
+                       preferred_element_type=jnp.float32) + sl["mlp_fc2_bias"]
         h = _dropout(h, self.drop, rng, deterministic, salt=2)
         x = x + _drop_path(h, dp_rate, rng, deterministic, salt=1)
 
@@ -356,12 +369,13 @@ class ScannedDecoderStack(nn.Module):
     depth: int
     num_heads: int
     drop_path_rate: float = 0.0
+    compute_dtype: Any = jnp.float32
 
     def setup(self):
         self.blocks = ScannedEncoderStack(
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
-            is_decoder=True)
+            is_decoder=True, compute_dtype=self.compute_dtype)
         self.norm = nn.LayerNorm()
 
     def __call__(self, x, pos, return_token_num: int, *,

@@ -65,6 +65,7 @@ class _UnifyCore(nn.Module):
     num_group: int = 64
     mask_ratio: float = 0.5
     prompter: PrompterConfig = PrompterConfig()
+    if_half: bool = False   # bf16 matmuls in the block stacks (cfg `if_half`)
 
     @property
     def vis_num(self) -> int:
@@ -76,9 +77,11 @@ class _UnifyCore(nn.Module):
     def setup(self):
         self.encoder = Encoder(self.encoder_dims)
         self.pos_embed = PosEmbedMLP(self.trans_dim)
+        cdtype = jnp.bfloat16 if self.if_half else jnp.float32
         self.blocks = ScannedEncoderStack(
             embed_dim=self.trans_dim, depth=self.depth, num_heads=self.num_heads,
-            drop_path_rate=self.drop_path_rate, prompter=self.prompter)
+            drop_path_rate=self.drop_path_rate, prompter=self.prompter,
+            compute_dtype=cdtype)
         self.norm = nn.LayerNorm()
         self.shape_pred = TwoLayerHead(self.trans_dim // 2, self.vis_short)
         self.coarse_pred = TwoLayerHead(
@@ -87,7 +90,8 @@ class _UnifyCore(nn.Module):
         self.decoder_pos_embed = PosEmbedMLP(self.trans_dim)
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=self.trans_dim, depth=self.decoder_depth,
-            num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate)
+            num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate,
+            compute_dtype=cdtype)
         self.dense_pred = nn.Dense(3 * self.group_size, name="dense_pred_conv")
         self.rectify_prompter = RectifyPrompter(hidden_dimension=self.trans_dim)
         self.mask_token = self.param(
@@ -165,7 +169,8 @@ class PointMAEUnify(nn.Module):
             decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
             group_size=cfg.group_size, num_group=cfg.num_group,
             mask_ratio=tc.mask_ratio,
-            prompter=PrompterConfig.from_cfg(cfg.prompter_config))
+            prompter=PrompterConfig.from_cfg(cfg.prompter_config),
+            if_half=bool(cfg.get("if_half", False)))
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, tc.trans_dim))
         self.cls_pos = self.param("cls_pos", trunc_normal_init,

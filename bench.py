@@ -86,13 +86,14 @@ def main():
     state, m = train_step(state, pts, label, key)
     float(m["loss"])
 
-    iters = 10
+    iters = 30
     per_call = []
     t0 = time.perf_counter()
     for i in range(iters):
-        key, k = jax.random.split(key)
         t1 = time.perf_counter()
-        state, m = train_step(state, pts, label, k)
+        # the per-step RNG stream is folded from state.step inside the jit;
+        # no eager host-side random ops in the timed loop
+        state, m = train_step(state, pts, label, key)
         float(m["loss"])
         per_call.append(time.perf_counter() - t1)
     dt = time.perf_counter() - t0
@@ -109,5 +110,32 @@ def main():
     }))
 
 
+def _guarded_main():
+    """Run the measurement in a child process so that an intermittent axon
+    TPU-worker crash (observed early in development under sustained Pallas
+    invocation, see ops/fps.py) cannot lose the JSON line: on a failed fast
+    run, retry once with the Pallas FPS path disabled."""
+    import subprocess
+    import sys
+
+    for attempt_env in (None, {"UPP_DISABLE_PALLAS_FPS": "1"}):
+        env = dict(os.environ, _UPP_BENCH_CHILD="1", **(attempt_env or {}))
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True)
+        sys.stderr.write(proc.stderr)
+        line = next((l for l in proc.stdout.splitlines()
+                     if l.startswith("{")), None)
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        sys.stderr.write(
+            f"[bench] run failed (rc={proc.returncode}, env={attempt_env}); "
+            "retrying with XLA FPS path\n")
+    raise SystemExit("bench: both fast and fallback runs failed")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_UPP_BENCH_CHILD"):
+        main()
+    else:
+        _guarded_main()

@@ -91,6 +91,10 @@ def make_train_step(model, tx, config, args):
     aug = config.get("data_augmentation", None)
 
     def train_step(state: TrainState, pts, label, rng):
+        # rng is an epoch-constant base key; derive the per-step stream inside
+        # the jit from state.step (an eager host-side split costs a ~100 ms
+        # tunnel round trip per batch on remote backends)
+        rng = jax.random.fold_in(rng, state.step)
         k_pipe, k_drop, k_path = jax.random.split(rng, 3)
         points = corrupt_batch(
             k_pipe, pts, npoints=npoints, n_points_dataset=n_pts_ds,
@@ -141,16 +145,35 @@ def make_eval_step(model, config, args):
 
 
 def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
-    preds, labels = [], []
+    preds, labels, idxs = [], [], []
     variables = state.variables
-    for pts, label in loader:
+    it = loader.iter_indexed() if hasattr(loader, "iter_indexed") else (
+        (None, b) for b in loader)
+    for idx, (pts, label) in it:
         pts_d = shard_batch(mesh, jnp.asarray(pts)) if pts.shape[0] % mesh.size == 0 \
             else jnp.asarray(pts)
         preds.append(np.asarray(eval_step(variables, pts_d)))
         labels.append(label)
+        if idx is not None:
+            idxs.append(idx)
     preds = np.concatenate(preds)
     labels = np.concatenate(labels)
-    acc = float((preds == labels).mean() * 100.0)
+    hit = (preds == labels)
+    idx = (np.concatenate(idxs) if idxs
+           else np.arange(len(labels), dtype=np.int64))
+    if jax.process_count() > 1:
+        # gather per-sample (hit, index) pairs across hosts (the reference's
+        # dist_utils.gather_tensor); shard padding keeps sizes equal
+        from jax.experimental import multihost_utils
+        hit = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(hit))).reshape(-1)
+        idx = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(idx))).reshape(-1)
+    # drop shard-padding duplicates AFTER the gather (a duplicate may live on
+    # a different host than the original) so they don't bias the metric
+    _, keep = np.unique(idx, return_index=True)
+    hit = hit[keep]
+    acc = float(hit.mean() * 100.0) if hit.size else 0.0
     print_log(f"[Validation] EPOCH: {epoch}  acc = {acc:.4f}", logger=logger)
     return AccMetric(acc)
 
@@ -215,9 +238,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # resolve it once on the host instead of a device call per batch
         lr_epoch = float(sched(epoch * steps_per_epoch))
         for batch_idx, (pts, label) in enumerate(train_loader):
-            rng, step_rng = jax.random.split(rng)
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
-            state, m = train_step(state, batch[0], batch[1], step_rng)
+            state, m = train_step(state, batch[0], batch[1], rng)
             losses.update([float(m["loss"]), float(m["acc"])])
             if train_writer is not None:
                 n_itr = epoch * steps_per_epoch + batch_idx
@@ -292,8 +314,8 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
     npoints = int(config.npoints)
 
     @jax.jit
-    def vote_logits(variables, pts, rng):
-        k1, k2 = jax.random.split(rng)
+    def vote_logits(variables, pts, rng, vote_idx):
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, vote_idx))
         points = subsample_fps_random(k1, pts, npoints)
         points = scale_translate(k2, points)
         return model.apply(variables, points, deterministic=True)
@@ -301,12 +323,13 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
     rng = jax.random.key(args.seed + 4242)
     preds, labels = [], []
     variables = state.variables
+    vote_idx = 0
     for pts, label in loader:
         pts = jnp.asarray(pts)
         acc_logits = None
         for _ in range(times):
-            rng, k = jax.random.split(rng)
-            logits = vote_logits(variables, pts, k)
+            vote_idx += 1
+            logits = vote_logits(variables, pts, rng, np.int32(vote_idx))
             acc_logits = logits if acc_logits is None else acc_logits + logits
         preds.append(np.asarray(jnp.argmax(acc_logits, -1)))
         labels.append(label)

@@ -26,7 +26,7 @@ from ..ops.fps import fps
 from ..parallel.mesh import make_mesh, replicate, shard_batch
 from ..utils.logger import get_logger, print_log
 from . import checkpoint as ckpt_io
-from .metrics import AverageMeter, CDMetric
+from .metrics import AverageMeter, CDMetric, Metrics, completion_metrics
 from .optim import build_optimizer, count_params
 from .runner_cls import build_loaders, init_model
 from .state import TrainState
@@ -66,7 +66,7 @@ def make_pretask_train_step(model, tx, config, args):
                                 ("gaussian_noise", "lidar_noise")))
 
     def train_step(state: TrainState, gt, rng):
-        ks = jax.random.split(rng, 8)
+        ks = jax.random.split(jax.random.fold_in(rng, state.step), 8)
         if aug == "rotate":
             gt = rotate_y(ks[0], gt)
         elif aug == "scale-translate":
@@ -141,16 +141,21 @@ def make_pretask_eval_step(model, config, mode: str = "easy"):
             deterministic=True)
         coarse = jnp.concatenate([partial_center, predict_center], axis=1)
         dense = jnp.concatenate([partial, rebuild], axis=1)
-        return {"sparse_l1": chamfer_l1(coarse, gt) * 1000,
-                "sparse_l2": chamfer_l2(coarse, gt) * 1000,
-                "dense_l1": chamfer_l1(dense, gt) * 1000,
-                "dense_l2": chamfer_l2(dense, gt) * 1000}
+        out = {"sparse_l1": chamfer_l1(coarse, gt) * 1000,
+               "sparse_l2": chamfer_l2(coarse, gt) * 1000,
+               "dense_l1": chamfer_l1(dense, gt) * 1000,
+               "dense_l2": chamfer_l2(dense, gt) * 1000}
+        # Metrics table entries (runner_pretask.py:385-388): F-Score/CDL1/CDL2
+        out.update(completion_metrics(dense, gt))
+        return out
 
     return jax.jit(eval_step)
 
 
 def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
              mode: str = "easy") -> CDMetric:
+    """CD meters over the val loader; ``in_detail`` sweeps all 8 viewpoints.
+    The per-taxonomy Metrics table lives in ``validate_detailed``."""
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
     variables = state.variables
     viewpoints = VIEWPOINTS_8 if in_detail else VIEWPOINTS_8[:1]
@@ -163,6 +168,47 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
               % (epoch, meters.avg(3)), logger=logger)
     return CDMetric(meters.avg(3))
+
+
+def validate_detailed(eval_step, state, dataset, epoch, logger=None) -> CDMetric:
+    """Per-sample detailed eval over a dataset of (taxonomy, model_id,
+    (points, label)) items: 8 viewpoints x Metrics table per taxonomy +
+    Overall row, exactly the reference's TEST RESULTS report
+    (``tools/runner_pretask.py:385-447``)."""
+    meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
+    variables = state.variables
+    category_metrics: dict = {}
+    for i in range(len(dataset)):
+        taxonomy_id, model_id, payload = dataset[i]
+        gt = jnp.asarray(np.asarray(payload[0], np.float32))[None]
+        for vp in VIEWPOINTS_8:
+            m = eval_step(variables, gt, jnp.asarray(vp, jnp.float32))
+            meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
+                           float(m["dense_l1"]), float(m["dense_l2"])])
+            row = [float(m[n]) for n in Metrics.names()]
+            category_metrics.setdefault(
+                str(taxonomy_id), AverageMeter(Metrics.names())).update(row)
+    _print_metrics_table(category_metrics, logger)
+    print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
+              % (epoch, meters.avg(3)), logger=logger)
+    return CDMetric(meters.avg(3))
+
+
+def _print_metrics_table(category_metrics: dict, logger=None) -> None:
+    """============ TEST RESULTS ============ table: one row per taxonomy +
+    an Overall row averaging the per-taxonomy averages (reference
+    ``runner_pretask.py:418-447``)."""
+    overall = AverageMeter(Metrics.names())
+    print_log("============================ TEST RESULTS "
+              "============================", logger=logger)
+    print_log("Taxonomy\t#Sample\t" + "\t".join(Metrics.names()),
+              logger=logger)
+    for tax, meter in category_metrics.items():
+        overall.update(meter.avg())
+        row = "\t".join("%.3f" % v for v in meter.avg())
+        print_log(f"{tax}\t{meter.count(0)}\t{row}", logger=logger)
+    print_log("Overall\t\t" + "\t".join("%.3f" % v for v in overall.avg()),
+              logger=logger)
 
 
 def run_net(args, config, train_writer=None, val_writer=None):
@@ -219,9 +265,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                "DenseLoss", "NoiseLoss", "Recall"])
         t0 = time.time()
         for batch in train_loader:
-            rng, k = jax.random.split(rng)
             gt = shard_batch(mesh, jnp.asarray(batch[0]))
-            state, m = train_step(state, gt, k)
+            state, m = train_step(state, gt, rng)
             meters.update([float(m["cropping_coarse"]), float(m["cropping_dense"]),
                            float(m["dense"]), float(m["noise_loss"]),
                            float(m["recall"])])
@@ -274,4 +319,4 @@ def test_net(args, config):
                        opt_state=None, step=jnp.zeros((), jnp.int32))
     eval_step = make_pretask_eval_step(model, config,
                                        mode=getattr(args, "mode", None) or "easy")
-    return validate(eval_step, state, loader, 0, logger=logger, in_detail=True)
+    return validate_detailed(eval_step, state, test_ds, 0, logger=logger)

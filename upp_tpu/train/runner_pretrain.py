@@ -30,7 +30,7 @@ def make_pretrain_step(model, tx, config):
     aug = config.get("data_augmentation", "scale-translate")
 
     def train_step(state: TrainState, pts, rng):
-        ks = jax.random.split(rng, 4)
+        ks = jax.random.split(jax.random.fold_in(rng, state.step), 4)
         points, _ = fps(pts, npoints)
         if aug == "rotate":
             points = rotate_y(ks[0], points)
@@ -123,9 +123,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         meters = AverageMeter(["loss"])
         t0 = time.time()
         for batch in train_loader:
-            rng, k = jax.random.split(rng)
             pts = shard_batch(mesh, jnp.asarray(batch[0]))
-            state, m = train_step(state, pts, k)
+            state, m = train_step(state, pts, rng)
             meters.update([float(m["loss"]) * 1000])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) LossX1000 = %.4f" %
                   (epoch, time.time() - t0, meters.avg(0)), logger=logger)

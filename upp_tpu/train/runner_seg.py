@@ -47,7 +47,7 @@ def make_seg_train_step(model, tx, config, args, unify: bool):
     noise_radius = float(getattr(args, "noise_radius", 0.8))
 
     def train_step(state: TrainState, pts, cls_label, target, rng):
-        ks = jax.random.split(rng, 6)
+        ks = jax.random.split(jax.random.fold_in(rng, state.step), 6)
         if aug == "rotate":
             pts = rotate_y(ks[0], pts)
         elif aug == "scale-translate":
@@ -201,10 +201,9 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
         for pts, cls, seg in train_loader:
-            rng, k = jax.random.split(rng)
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(cls),
                                        jnp.asarray(seg)))
-            state, m = train_step(state, batch[0], batch[1], batch[2], k)
+            state, m = train_step(state, batch[0], batch[1], batch[2], rng)
             meters.update([float(m["loss"]), float(m["acc"])])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,

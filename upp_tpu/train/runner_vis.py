@@ -58,7 +58,8 @@ def test_net(args, config, max_items: int = 40):
     os.makedirs(out_dir, exist_ok=True)
 
     @jax.jit
-    def reconstruct(variables, pts, key):
+    def reconstruct(variables, pts, key, item_idx):
+        key = jax.random.fold_in(key, item_idx)
         points, _ = fps(pts, npoints)
         # visualisation = eval features path isn't enough; rebuild with a
         # random mask using the train-mode forward
@@ -73,8 +74,7 @@ def test_net(args, config, max_items: int = 40):
         if count >= max_items:
             break
         pts = jnp.asarray(batch[0])
-        key, k = jax.random.split(key)
-        points, loss = reconstruct(variables, pts, k)
+        points, loss = reconstruct(variables, pts, key, np.int32(count))
         cloud = np.asarray(points[0])
         np.save(os.path.join(out_dir, f"input-{count:03d}.npy"), cloud)
         _render_png(os.path.join(out_dir, f"input-{count:03d}.png"), cloud)

@@ -322,8 +322,27 @@ class ScannedEncoderStack(nn.Module):
 
     def _propagate(self, x, sl, num_prompts, classification, propagation,
                    dp_rate, rng, deterministic):
-        """Geometry-aware prompt propagation (semantics documented in
-        blocks.PromptedBlock; gathers expressed as one-hot MXU matmuls)."""
+        """Geometry-aware prompt propagation.
+
+        Three gather modes, selected by the propagation dict:
+
+        * quirk + gather_idx=False (DEFAULT; the reference's shipped cls
+          configs): the reference flattens the prompt-augmented token tensor
+          to ``[B*(prompts+g), C]`` but offsets the kNN indices by ``b*g``
+          (``Point_MAE_pretask_dev.py:291-293`` with indices built by
+          ``Point_MAE_unify.py:74-80``) — so the gathered rows are shifted
+          into the prompt region and, for b>0, read the PREVIOUS sample's
+          rows. The released checkpoints were trained with exactly this
+          behaviour, so we reproduce it bit-for-bit (verified against the
+          torch code in tests/test_full_model_parity.py).
+        * quirk + gather_idx=True (the reference's seg config): per-sample
+          gather, but still indexed into the prompt-augmented body, i.e.
+          index i < num_prompts reads a prompt token.
+        * clean (opt-in via model cfg ``propagation_semantics: clean``): the
+          intended semantics — indices address the g group tokens only. Use
+          for from-scratch training; NOT checkpoint-compatible with the
+          reference's cls/seg heads.
+        """
         B = x.shape[0]
         cls_x = x[:, :1] if classification else None
         body = x[:, 1:] if classification else x
@@ -334,12 +353,29 @@ class ScannedEncoderStack(nn.Module):
         c_idx = propagation["center2_idx"]
         g2, k = n_idx.shape[1], n_idx.shape[2]
         C = tokens.shape[-1]
-        oh_n = (n_idx.reshape(B, -1)[..., None] == jnp.arange(g)).astype(tokens.dtype)
-        neigh = jnp.einsum("bks,bsc->bkc", oh_n, tokens,
-                           preferred_element_type=jnp.float32).reshape(B, g2, k, C)
-        oh_c = (c_idx[..., None] == jnp.arange(g)).astype(tokens.dtype)
-        centers = jnp.einsum("bks,bsc->bkc", oh_c, tokens,
-                             preferred_element_type=jnp.float32)
+        quirk = propagation.get("quirk", True)
+        if quirk and not propagation.get("gather_idx", False):
+            # reference flat-index path: row stride is prompts+g, offsets are
+            # b*g → off-by-prompts and cross-batch reads, kept verbatim
+            g_tot = body.shape[1]
+            flat = body.reshape(B * g_tot, C)
+            off = (jnp.arange(B, dtype=n_idx.dtype) * g)[:, None, None]
+            neigh = jnp.take(flat, (n_idx + off).reshape(-1), axis=0,
+                             indices_are_sorted=False,
+                             unique_indices=False).reshape(B, g2, k, C)
+            centers = jnp.take(flat, (c_idx + off[:, :, 0]).reshape(-1),
+                               axis=0).reshape(B, g2, C)
+        else:
+            # source rows: prompt-augmented body (reference gather_idx=True)
+            # or the g group tokens alone (clean semantics)
+            src = body if quirk else tokens
+            S = src.shape[1]
+            oh_n = (n_idx.reshape(B, -1)[..., None] == jnp.arange(S)).astype(src.dtype)
+            neigh = jnp.einsum("bks,bsc->bkc", oh_n, src,
+                               preferred_element_type=jnp.float32).reshape(B, g2, k, C)
+            oh_c = (c_idx[..., None] == jnp.arange(S)).astype(src.dtype)
+            centers = jnp.einsum("bks,bsc->bkc", oh_c, src,
+                                 preferred_element_type=jnp.float32)
         # reference quirk kept: droppath(x)+x doubles features at eval
         neigh = _drop_path(neigh, dp_rate, rng, deterministic, salt=2) + neigh
 

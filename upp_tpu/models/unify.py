@@ -206,7 +206,13 @@ class PointMAEUnify(nn.Module):
         if self.prompt_propagation_after:
             lvl2 = group_points(g.center, cfg.num_group // 2, 8)
             propagation = {"center1": g.center, "center1_idx": lvl2.idx,
-                           "center2": lvl2.center, "center2_idx": lvl2.center_idx}
+                           "center2": lvl2.center, "center2_idx": lvl2.center_idx,
+                           "gather_idx": bool(cfg.get("gather_idx", False)),
+                           # the reference's exact (quirky) gather unless the
+                           # cfg opts into the clean semantics — see
+                           # scan_blocks.ScannedEncoderStack._propagate
+                           "quirk": cfg.get("propagation_semantics",
+                                            "reference") != "clean"}
 
         x = core.blocks(x, pos, path="downstream", classification=True,
                         propagation=propagation, deterministic=deterministic)

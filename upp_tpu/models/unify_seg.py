@@ -124,9 +124,15 @@ class PointMAEUnifySeg(nn.Module):
 
         propagation = None
         if self.prompt_propagation_after:
+            cfg = to_config(self.config)
             lvl2 = group_points(g.center, self.num_group // 2, 8)
             propagation = {"center1": g.center, "center1_idx": lvl2.idx,
-                           "center2": lvl2.center, "center2_idx": lvl2.center_idx}
+                           "center2": lvl2.center, "center2_idx": lvl2.center_idx,
+                           # the shipped seg config uses gather_idx=True (the
+                           # reference's within-sample but prompt-offset path)
+                           "gather_idx": bool(cfg.get("gather_idx", True)),
+                           "quirk": cfg.get("propagation_semantics",
+                                            "reference") != "clean"}
 
         # one shared block stack for all passes (as in the reference); the
         # downstream pass taps features after blocks {3, 7, 11}

@@ -4,15 +4,15 @@ Re-implements ``models/AdaPoinTr.py`` (PCTransformer with adaptive query
 generation + query ranking + auxiliary denoising task) and the block styles
 from ``models/Transformer_utils.py`` that its released configs use:
 
-* ``attn``        — plain global self/cross attention
-* ``attn-graph``  — global attention fused ('concat' combine) with
-  DynamicGraphAttention (kNN edge-conv over token features,
-  ``Transformer_utils.py:777-858``)
-
-The deformable-attention variants of the reference block zoo
-(``rw_deform`` / ``deform`` / ``deform_graph``) are gather-heavy GPU designs;
-the shipped AdaPoinTr configurations do not use them and they are not
-re-implemented (documented capability gap).
+* ``attn``         — plain global self/cross attention
+* ``graph``        — DynamicGraphAttention (kNN edge-conv over token
+  features, ``Transformer_utils.py:777-858``)
+* ``rw_deform``    — DeformableLocalAttention (models/deform_attn.py)
+* ``deform``       — DeformableLocalCrossAttention
+* ``deform_graph`` — improvedDeformableLocalGraphAttention
+* combined styles like ``attn-graph`` / ``attn-deform`` fuse a global and a
+  local component via 'concat' (merge Dense) or 'onebyone' (sequential
+  residuals), matching ``AdaPoinTr.py:15-311``.
 
 The denoising task's attention mask (true queries must not attend to denoise
 tokens, ``AdaPoinTr.py:217-237``) is a static additive mask since
@@ -112,26 +112,67 @@ class DynamicGraphAttention(nn.Module):
         return jnp.max(h, axis=2)
 
 
+def _style_tokens(style: str):
+    """Split a block-style string into (has_attn, local_token). The local
+    token is one of graph / rw_deform / deform / deform_graph or None
+    (``AdaPoinTr.py:45-62``). '-' only separates 'attn' from the local part
+    ('deform_graph' contains an underscore, not a dash)."""
+    tokens = style.split("-")
+    assert all(t in ("attn", "graph", "rw_deform", "deform", "deform_graph")
+               for t in tokens), style
+    local = next((t for t in tokens if t != "attn"), None)
+    return "attn" in tokens, local
+
+
+def _local_attn(local: str, dim: int, num_heads: int, name: str):
+    from .deform_attn import (DeformableGraphAttention,
+                              DeformableLocalAttention,
+                              DeformableLocalCrossAttention)
+    if local == "graph":
+        return DynamicGraphAttention(dim, name=name)
+    if local == "rw_deform":
+        return DeformableLocalAttention(dim, num_heads, name=name)
+    if local == "deform":
+        return DeformableLocalCrossAttention(dim, num_heads, name=name)
+    if local == "deform_graph":
+        return DeformableGraphAttention(dim, name=name)
+    raise ValueError(local)
+
+
 class SelfAttnBlock(nn.Module):
-    """(``AdaPoinTr.py:15-108``) with 'attn' / 'attn-graph' (concat)."""
+    """(``AdaPoinTr.py:15-108``): any of attn / graph / rw_deform / deform /
+    deform_graph, or attn-<local> combined via 'concat' or 'onebyone'."""
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     block_style: str = "attn"
+    combine_style: str = "concat"
 
     @nn.compact
     def __call__(self, x, pos, mask=None, denoise_length=None):
-        norm_x = nn.LayerNorm(name="norm1")(x)
-        feats = []
-        if "attn" in self.block_style.split("-"):
-            feats.append(MaskedAttention(self.dim, self.num_heads,
-                                         name="attn")(norm_x, mask))
-        if "graph" in self.block_style.split("-"):
-            feats.append(DynamicGraphAttention(self.dim, name="local_attn")(
-                norm_x, pos, denoise_length=denoise_length))
-        f = feats[0] if len(feats) == 1 else nn.Dense(
-            self.dim, name="merge_map")(jnp.concatenate(feats, -1))
-        x = x + f
+        has_attn, local = _style_tokens(self.block_style)
+
+        def run_local(h, name="local_attn"):
+            m = _local_attn(local, self.dim, self.num_heads, name)
+            if local == "rw_deform":
+                return m(h, pos)
+            return m(h, pos, denoise_length=denoise_length)
+
+        if has_attn and local and self.combine_style == "onebyone":
+            x = x + MaskedAttention(self.dim, self.num_heads, name="attn")(
+                nn.LayerNorm(name="norm1")(x), mask)
+            x = x + run_local(nn.LayerNorm(name="norm3")(x))
+        else:
+            norm_x = nn.LayerNorm(name="norm1")(x)
+            feats = []
+            if has_attn:
+                feats.append(MaskedAttention(self.dim, self.num_heads,
+                                             name="attn")(norm_x, mask))
+            if local:
+                feats.append(run_local(norm_x))
+            f = feats[0] if len(feats) == 1 else nn.Dense(
+                self.dim, name="merge_map")(jnp.concatenate(feats, -1))
+            x = x + f
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
             nn.LayerNorm(name="norm2")(x))
         return x
@@ -145,6 +186,9 @@ class CrossAttnBlock(nn.Module):
     self_style: str = "attn"
     cross_style: str = "attn"
 
+    self_combine: str = "concat"
+    cross_combine: str = "concat"
+
     @nn.compact
     def __call__(self, q, v, q_pos, v_pos, denoise_length: Optional[int] = None):
         mask = None
@@ -152,30 +196,55 @@ class CrossAttnBlock(nn.Module):
             n = q.shape[1]
             mask = jnp.zeros((n, n)).at[: n - denoise_length,
                                         n - denoise_length:].set(1.0)
-        norm_q = nn.LayerNorm(name="norm1")(q)
-        feats = []
-        if "attn" in self.self_style.split("-"):
-            feats.append(MaskedAttention(self.dim, self.num_heads,
-                                         name="self_attn")(norm_q, mask))
-        if "graph" in self.self_style.split("-"):
-            feats.append(DynamicGraphAttention(self.dim, name="local_self_attn")(
-                norm_q, q_pos, denoise_length=denoise_length))
-        f = feats[0] if len(feats) == 1 else nn.Dense(
-            self.dim, name="self_attn_merge_map")(jnp.concatenate(feats, -1))
-        q = q + f
+        has_attn, local = _style_tokens(self.self_style)
 
-        norm_q2 = nn.LayerNorm(name="norm_q")(q)
-        norm_v = nn.LayerNorm(name="norm_v")(v)
-        feats = []
-        if "attn" in self.cross_style.split("-"):
-            feats.append(CrossAttn(self.dim, self.num_heads,
-                                   name="cross_attn")(norm_q2, norm_v))
-        if "graph" in self.cross_style.split("-"):
-            feats.append(DynamicGraphAttention(self.dim, name="local_cross_attn")(
-                norm_q2, q_pos, v=norm_v, v_pos=v_pos))
-        f = feats[0] if len(feats) == 1 else nn.Dense(
-            self.dim, name="cross_attn_merge_map")(jnp.concatenate(feats, -1))
-        q = q + f
+        def run_self_local(h, name="local_self_attn"):
+            m = _local_attn(local, self.dim, self.num_heads, name)
+            if local == "rw_deform":
+                return m(h, q_pos)
+            return m(h, q_pos, denoise_length=denoise_length)
+
+        if has_attn and local and self.self_combine == "onebyone":
+            q = q + MaskedAttention(self.dim, self.num_heads,
+                                    name="self_attn")(
+                nn.LayerNorm(name="norm1")(q), mask)
+            q = q + run_self_local(nn.LayerNorm(name="norm3")(q))
+        else:
+            norm_q = nn.LayerNorm(name="norm1")(q)
+            feats = []
+            if has_attn:
+                feats.append(MaskedAttention(self.dim, self.num_heads,
+                                             name="self_attn")(norm_q, mask))
+            if local:
+                feats.append(run_self_local(norm_q))
+            f = feats[0] if len(feats) == 1 else nn.Dense(
+                self.dim, name="self_attn_merge_map")(jnp.concatenate(feats, -1))
+            q = q + f
+
+        has_cattn, clocal = _style_tokens(self.cross_style)
+        assert clocal != "rw_deform", "rw_deform is self-attn only (ref assert)"
+
+        def run_cross_local(hq, hv, name="local_cross_attn"):
+            m = _local_attn(clocal, self.dim, self.num_heads, name)
+            return m(hq, q_pos, v=hv, v_pos=v_pos)
+
+        if has_cattn and clocal and self.cross_combine == "onebyone":
+            q = q + CrossAttn(self.dim, self.num_heads, name="cross_attn")(
+                nn.LayerNorm(name="norm_q")(q), nn.LayerNorm(name="norm_v")(v))
+            q = q + run_cross_local(nn.LayerNorm(name="norm_q_2")(q),
+                                    nn.LayerNorm(name="norm_v_2")(v))
+        else:
+            norm_q2 = nn.LayerNorm(name="norm_q")(q)
+            norm_v = nn.LayerNorm(name="norm_v")(v)
+            feats = []
+            if has_cattn:
+                feats.append(CrossAttn(self.dim, self.num_heads,
+                                       name="cross_attn")(norm_q2, norm_v))
+            if clocal:
+                feats.append(run_cross_local(norm_q2, norm_v))
+            f = feats[0] if len(feats) == 1 else nn.Dense(
+                self.dim, name="cross_attn_merge_map")(jnp.concatenate(feats, -1))
+            q = q + f
         q = q + Mlp(int(self.dim * self.mlp_ratio), self.dim, name="mlp")(
             nn.LayerNorm(name="norm2")(q))
         return q

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from upp_tpu.train.optim import (build_optimizer, build_schedule, peft_detect,
                                  trainable_mask, weight_decay_mask)
 from upp_tpu.train.metrics import (AccMetric, AverageMeter, CDMetric, Metrics,
@@ -37,10 +39,12 @@ def test_cosine_schedule_matches_timm_semantics():
     # warmup is linear: epoch 5 of 10
     want = 1e-6 + (5e-4 - 1e-6) * 5 / 10
     np.testing.assert_allclose(float(sched(5 * steps_per_epoch)), want, rtol=1e-5)
-    # first post-warmup epoch = peak of the cosine
-    np.testing.assert_allclose(float(sched(10 * steps_per_epoch)), 5e-4, rtol=1e-5)
+    # first post-warmup epoch: timm's default warmup_prefix=False indexes the
+    # cosine by the RAW epoch (t=10/300), not by epoch-warmup
+    want = 1e-6 + 0.5 * (5e-4 - 1e-6) * (1 + np.cos(np.pi * 10 / 300))
+    np.testing.assert_allclose(float(sched(10 * steps_per_epoch)), want, rtol=1e-5)
     # final epoch approaches lr_min
-    t = (300 - 10) / (300 - 10)
+    t = 300 / 300
     want = 1e-6 + 0.5 * (5e-4 - 1e-6) * (1 + np.cos(np.pi * t))
     np.testing.assert_allclose(float(sched(300 * steps_per_epoch)), want, rtol=1e-4)
     # within an epoch the lr is constant (per-epoch stepping)

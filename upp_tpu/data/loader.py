@@ -82,13 +82,25 @@ class BatchLoader:
         return pts, cls, seg
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        for _, batch in self._indexed_batches():
+            yield batch
+
+    def _indexed_batches(self):
         idx = self._indices()
         n_full = len(idx) // self.batch_size
         ends = n_full * self.batch_size
         for s in range(0, ends, self.batch_size):
-            yield self._collate([self.dataset[i] for i in idx[s:s + self.batch_size]])
+            chunk = idx[s:s + self.batch_size]
+            yield chunk, self._collate([self.dataset[i] for i in chunk])
         if not self.drop_last and ends < len(idx):
-            yield self._collate([self.dataset[i] for i in idx[ends:]])
+            chunk = idx[ends:]
+            yield chunk, self._collate([self.dataset[i] for i in chunk])
+
+    def iter_indexed(self):
+        """Yield (global dataset indices [b], batch tuple). Shard padding
+        duplicates indices (``_indices``); eval code dedupes on them so
+        multi-host metrics aren't biased by repeated samples."""
+        yield from self._indexed_batches()
 
     def __iter__(self):
         if self.prefetch <= 0:
@@ -101,8 +113,9 @@ class BatchLoader:
             try:
                 for b in self._batches():
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # re-raised on the consumer thread
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -110,4 +123,6 @@ class BatchLoader:
             b = q.get()
             if b is _END:
                 break
+            if isinstance(b, BaseException):
+                raise b
             yield b

@@ -81,7 +81,10 @@ def build_schedule(opti_cfg, sche_cfg, steps_per_epoch: int):
         def sched(step):
             epoch = step // steps_per_epoch
             warm = warmup_init + (base_lr - warmup_init) * epoch / max(warmup, 1)
-            t = jnp.clip((epoch - warmup) / max(epochs - warmup, 1), 0.0, 1.0)
+            # timm CosineLRScheduler default warmup_prefix=False: the
+            # post-warmup cosine is indexed by the RAW epoch over t_initial
+            # (builder.py's scheduler kwargs), not by (epoch - warmup)
+            t = jnp.clip(epoch / max(epochs, 1), 0.0, 1.0)
             cos = lr_min + 0.5 * (base_lr - lr_min) * (1.0 + jnp.cos(jnp.pi * t))
             return jnp.where(epoch < warmup, warm, cos)
 

@@ -29,7 +29,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch .pth into {key: np.ndarray}, applying the reference's
     top-level remaps (``Point_MAE_unify.py:505-516``)."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # legacy pickle checkpoints need the unsafe loader; warn because this
+        # executes pickle bytecode from the file
+        import warnings
+        warnings.warn(f"{path}: falling back to weights_only=False torch.load "
+                      "(legacy pickle format; only load trusted checkpoints)")
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("base_model", ckpt.get("model", ckpt))
     out = {}
     for k, v in state.items():

@@ -5,11 +5,81 @@ dryrun_multichip(N))."""
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_dryrun_multichip(n_devices):
     import __graft_entry__ as g
     g.dryrun_multichip(n_devices)
+
+
+def test_sharded_step_matches_single_device():
+    """The 8-device batch-sharded train step must produce the SAME loss and
+    updated parameters as the 1-device run on identical inputs — catches
+    sharding-semantics bugs (wrong collective, per-shard BN/normalization)
+    that a smoke run can't. Replaces reference dist_utils collective checks
+    (``utils/dist_utils.py:41-54``)."""
+    import types
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_cls import PEFT_LIST, make_train_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    point_num, n_pts_ds, B = 128, 512, 8
+    config = ConfigDict.from_nested({
+        "model": _flagship_cfg(tiny=True).to_plain(),
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 5e-4, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10, "initial_epochs": 1}},
+        "dataset": {"train": {"_base_": {"N_POINTS": n_pts_ds}}},
+        "npoints": point_num, "grad_norm_clip": 10,
+        "noisy_train": True, "data_augmentation": "scale-translate",
+    })
+    args = types.SimpleNamespace(incomplete_cropping=True, noise=True,
+                                 noise_type=("gaussian_noise", "lidar_noise"),
+                                 normalize=False)
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(model, rngs,
+                              jnp.zeros((2, point_num + 72, 3), jnp.float32),
+                              completion_prompt=True, denoise=True,
+                              point_num=point_num, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=10,
+                               peft_list=PEFT_LIST)
+    pts_h = np.random.default_rng(0).standard_normal(
+        (B, n_pts_ds, 3)).astype(np.float32)
+    label_h = np.random.default_rng(1).integers(0, 6, B).astype(np.int32)
+
+    results = {}
+    for n_dev in (1, 8):
+        mesh = make_mesh(jax.devices()[:n_dev])
+        with mesh:
+            state = TrainState(
+                params=replicate(mesh, variables["params"]),
+                batch_stats=replicate(mesh, variables["batch_stats"]),
+                opt_state=replicate(mesh, tx.init(variables["params"])),
+                step=jnp.zeros((), jnp.int32))
+            step = make_train_step(model, tx, config, args)
+            pts = shard_batch(mesh, jnp.asarray(pts_h))
+            label = shard_batch(mesh, jnp.asarray(label_h))
+            state, m = step(state, pts, label, jax.random.key(7))
+            flat = jax.tree_util.tree_leaves(jax.device_get(state.params))
+            results[n_dev] = (float(m["loss"]),
+                              float(sum(np.abs(l).sum() for l in flat)))
+    loss1, p1 = results[1]
+    loss8, p8 = results[8]
+    np.testing.assert_allclose(loss8, loss1, rtol=2e-5)
+    np.testing.assert_allclose(p8, p1, rtol=2e-5)
 
 
 def test_shard_batch_multi_device():

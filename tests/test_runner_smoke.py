@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from upp_tpu.utils.config import ConfigDict
 
 
@@ -61,6 +63,55 @@ def test_pretask_runner_smoke(tmp_path):
     })
     best = runner_pretask.run_net(_args(tmp_path), config)
     assert np.isfinite(best.cd)
+
+    # detailed test path: per-taxonomy Metrics table + Overall row
+    # (reference tools/runner_pretask.py:314-450), captured via the logger
+    import logging
+
+    from upp_tpu.data import build_dataset_from_cfg
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.train.state import TrainState
+    import jax
+    import jax.numpy as jnp
+
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(
+        model, rngs,
+        jnp.zeros((2, 128 + runner_pretask.GAUSSIAN_NUM
+                   + runner_pretask.LIDAR_NUM, 3), jnp.float32),
+        point_num=128, train_with_gaussian=True, deterministic=False))
+    variables.setdefault("batch_stats", {})
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_step = runner_pretask.make_pretask_eval_step(model, config)
+
+    class _Tiny:
+        def __init__(self, ds, n): self.ds, self.n = ds, n
+        def __len__(self): return self.n
+        def __getitem__(self, i): return self.ds[i]
+
+    test_ds = _Tiny(build_dataset_from_cfg(
+        config.dataset.test._base_, config.dataset.test.others), 3)
+    records = []
+    h = logging.Handler()
+    h.emit = lambda rec: records.append(rec.getMessage())
+    logging.getLogger("test").addHandler(h)
+    try:
+        m = runner_pretask.validate_detailed(eval_step, state, test_ds, 0,
+                                             logger="test")
+    finally:
+        logging.getLogger("test").removeHandler(h)
+    assert np.isfinite(m.cd)
+    text = "\n".join(records)
+    assert "TEST RESULTS" in text
+    assert "Taxonomy\t#Sample\tF-Score\tCDL1\tCDL2" in text
+    assert "Overall" in text
+    # one row per taxonomy with 8 viewpoint updates each
+    assert any(line.startswith("Synthetic\t24\t") for line in records), records
 
 
 def test_seg_runner_smoke(tmp_path):

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from upp_tpu.models import MODELS, build_model_from_cfg
 from upp_tpu.utils.config import ConfigDict
 

@@ -6,6 +6,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from upp_tpu import native
 
 

@@ -1,5 +1,7 @@
 """Corruption / augmentation pipeline tests."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +9,9 @@ import numpy as np
 from upp_tpu.ops import (gaussian_shell_noise, inverse_distance_interp, jitter,
                          lidar_noise, normalize_unit_sphere, propagate,
                          rotate_y, scale_translate, separate_point_cloud)
+
+
+pytestmark = pytest.mark.quick
 
 
 def _cloud(B=2, N=2048, seed=0):

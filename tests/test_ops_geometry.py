@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from upp_tpu.ops import (fps, group_points, index_points, knn, knn_points,
                          knn_vectors_mean, square_distance)
 

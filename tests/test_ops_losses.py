@@ -2,6 +2,8 @@
 golden-value EMD test ported from the reference
 (``extensions/emd/test_emd_loss.py``)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +12,9 @@ from jax.test_util import check_grads
 from upp_tpu.ops import (approx_match, chamfer_l1, chamfer_l2,
                          chamfer_l2_split, earth_mover_distance, match_cost,
                          nn_distance)
+
+
+pytestmark = pytest.mark.quick
 
 
 def _rand(shape, seed=0):

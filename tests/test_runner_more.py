@@ -7,6 +7,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from upp_tpu.utils.config import ConfigDict
 
 

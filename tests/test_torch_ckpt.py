@@ -8,6 +8,8 @@ flax layers."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 torch = pytest.importorskip("torch")
 
 import jax

@@ -7,6 +7,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from upp_tpu.train import runner_cls
 from upp_tpu.train.optim import peft_detect, trainable_mask
 from upp_tpu.utils.config import ConfigDict

@@ -10,11 +10,20 @@ npoints=1024), on the attached TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference never measured throughput (SURVEY.md §6); the CUDA
-baseline is ESTIMATED at 25 clouds/sec on a single modern GPU — dominated by
-``misc.seprate_point_cloud``'s per-sample host loop of 120 CUDA FPS calls per
-batch plus three backbone passes (``tools/runner_module.py:127-193``). Treat
-the ratio as provisional until a measured CUDA number replaces it.
+vs_baseline: the reference never measured throughput (SURVEY.md §6). The CUDA
+baseline is a DERIVED estimate of the reference step on a single A100-class
+GPU, f32 (the reference never enables AMP/TF32): per-batch crop is a
+sequential per-sample Python loop issuing two single-sample pointnet2 FPS
+kernels each (``utils/misc.py:205-257``; the kernel iterates npoint times on
+one SM at B=1 → ~2-4 ms + ~1.5-3 ms per sample, plus argsort/indexing/launch
+overhead ≈ 4-7.5 ms/sample → 460-900 ms at bs=120), model fwd+bwd is
+1.1 TFLOP/step (3-pass fwd = 500 GFLOP measured by XLA cost_analysis on the
+numerically-matched rebuild; + activation grads full-depth, weight grads PEFT
+only) at 19.5 TFLOP/s × 25-35% MFU ≈ 160-225 ms, augment + optimizer ≈ 25 ms.
+Total ≈ 0.65-1.15 s/step → 105-185 clouds/s; optimistic bound (TF32 + 40% MFU
++ 1.5 ms FPS calls) ≈ 320 clouds/s. Headline uses the central 180. Floor
+measured by ``bench_ref_cpu.py`` (reference code on CPU torch, 1 core):
+2.7 clouds/s. Full table: BASELINE.md.
 """
 
 import json
@@ -32,7 +41,7 @@ os.makedirs("/tmp/upp_jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/upp_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-CUDA_BASELINE_CLOUDS_PER_SEC = 25.0  # documented estimate, see module docstring
+CUDA_BASELINE_CLOUDS_PER_SEC = 180.0  # derived estimate, see module docstring
 
 
 def main():

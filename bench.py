@@ -95,19 +95,29 @@ def main():
     state, m = train_step(state, pts, label, key)
     float(m["loss"])
 
-    iters = 30
-    per_call = []
-    t0 = time.perf_counter()
-    for i in range(iters):
+    import sys
+    # per-step-synced timing (diagnostic: includes one ~24 ms tunnel round
+    # trip per step because the loss is fetched every iteration)
+    sync_ts = []
+    for i in range(5):
         t1 = time.perf_counter()
-        # the per-step RNG stream is folded from state.step inside the jit;
-        # no eager host-side random ops in the timed loop
         state, m = train_step(state, pts, label, key)
         float(m["loss"])
-        per_call.append(time.perf_counter() - t1)
+        sync_ts.append(time.perf_counter() - t1)
+    print("synced per-call ms:", [f"{t*1000:.0f}" for t in sync_ts],
+          file=sys.stderr)
+
+    # headline: pipelined dispatch, exactly like the runners' training loops
+    # (runner_cls.py fetches metrics once per epoch) — steps chain through the
+    # donated state on-device; the per-step RNG stream is folded from
+    # state.step inside the jit, so the host issues nothing but dispatches
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, m = train_step(state, pts, label, key)
+    float(m["loss"])
     dt = time.perf_counter() - t0
-    import sys
-    print("per-call ms:", [f"{t*1000:.0f}" for t in per_call], file=sys.stderr)
+    print(f"pipelined: {dt / iters * 1000:.1f} ms/step", file=sys.stderr)
 
     clouds_per_sec = B * iters / dt
     per_chip = clouds_per_sec / n_devices

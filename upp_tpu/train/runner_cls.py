@@ -237,9 +237,15 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # LR is a per-epoch constant (per-epoch stepping, builder.py:66-75);
         # resolve it once on the host instead of a device call per batch
         lr_epoch = float(sched(epoch * steps_per_epoch))
+        # keep per-batch metrics as device arrays and fetch them once per
+        # epoch: a per-batch float() costs a full host<->device round trip
+        # (~24 ms on tunneled backends), serialising the dispatch pipeline
+        pending = []
         for batch_idx, (pts, label) in enumerate(train_loader):
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
             state, m = train_step(state, batch[0], batch[1], rng)
+            pending.append(m)
+        for batch_idx, m in enumerate(jax.device_get(pending)):
             losses.update([float(m["loss"]), float(m["acc"])])
             if train_writer is not None:
                 n_itr = epoch * steps_per_epoch + batch_idx

@@ -264,9 +264,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
         meters = AverageMeter(["CroppingCoarseLoss", "CroppingDenseLoss",
                                "DenseLoss", "NoiseLoss", "Recall"])
         t0 = time.time()
+        pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for batch in train_loader:
             gt = shard_batch(mesh, jnp.asarray(batch[0]))
             state, m = train_step(state, gt, rng)
+            pending.append(m)
+        for m in jax.device_get(pending):
             meters.update([float(m["cropping_coarse"]), float(m["cropping_dense"]),
                            float(m["dense"]), float(m["noise_loss"]),
                            float(m["recall"])])

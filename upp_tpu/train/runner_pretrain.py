@@ -122,9 +122,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
         train_loader.set_epoch(epoch)
         meters = AverageMeter(["loss"])
         t0 = time.time()
+        pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for batch in train_loader:
             pts = shard_batch(mesh, jnp.asarray(batch[0]))
             state, m = train_step(state, pts, rng)
+            pending.append(m)
+        for m in jax.device_get(pending):
             meters.update([float(m["loss"]) * 1000])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) LossX1000 = %.4f" %
                   (epoch, time.time() - t0, meters.avg(0)), logger=logger)

@@ -200,10 +200,13 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
         train_loader.set_epoch(epoch)
         meters = AverageMeter(["loss", "acc"])
         t0 = time.time()
+        pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for pts, cls, seg in train_loader:
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(cls),
                                        jnp.asarray(seg)))
             state, m = train_step(state, batch[0], batch[1], batch[2], rng)
+            pending.append(m)
+        for m in jax.device_get(pending):
             meters.update([float(m["loss"]), float(m["acc"])])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,

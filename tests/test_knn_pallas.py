@@ -1,0 +1,100 @@
+"""Fused Pallas kNN+gather kernel: exactness + gradient parity.
+
+The kernel replaces the XLA ``square_distance → top_k → take_along_axis``
+chain on TPU (reference CUDA deps: KNN_CUDA at ``Point_MAE_unify.py:56``,
+pytorch3d knn_points at ``Point_MAE_pretask_dev.py:680``). On CPU it runs in
+Pallas interpret mode, so these tests exercise the exact kernel logic the TPU
+executes.
+
+Oracle: numpy broadcast-form squared distances + stable argsort — the same
+formulation the reference's CUDA kernels and our torch parity stubs use
+(ascending distance, ties by lowest index).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from upp_tpu.ops.knn_pallas import (_knn_gather_fwd_impl, knn_gather,
+                                    knn_gather_reference)
+
+pytestmark = pytest.mark.quick
+
+
+def _oracle(q, p, k):
+    d = ((q[:, :, None, :] - p[:, None, :, :]) ** 2).sum(-1).astype(np.float32)
+    idx = np.argsort(d, axis=-1, kind="stable")[..., :k]
+    dsel = np.take_along_axis(d, idx, -1)
+    nbr = p[np.arange(p.shape[0])[:, None, None], idx]
+    return dsel, idx.astype(np.int32), nbr
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 8, 50, 4),        # tiny
+    (3, 33, 97, 8),       # odd sizes exercise S/N padding
+    (2, 64, 300, 32),     # flagship grouping shape (scaled batch)
+    (1, 300, 520, 16),    # many queries, multiple S tiles
+])
+def test_kernel_exact_vs_oracle(shape):
+    B, S, N, k = shape
+    rng = np.random.default_rng(sum(shape))
+    q = rng.standard_normal((B, S, 3)).astype(np.float32)
+    p = rng.standard_normal((B, N, 3)).astype(np.float32)
+    d, idx, nbr = _knn_gather_fwd_impl(jnp.asarray(q), jnp.asarray(p), k,
+                                       interpret=True)
+    dref, iref, nref = _oracle(q, p, k)
+    np.testing.assert_array_equal(np.asarray(idx), iref)
+    # gathered coordinates are bit-exact (one-hot masked sums of the input);
+    # distances may differ by FMA/association rounding vs numpy
+    np.testing.assert_allclose(np.asarray(nbr), nref, rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(d), dref, rtol=1e-6, atol=1e-6)
+
+
+def test_gradients_match_xla_chain():
+    """∂/∂(query, points) of losses over (dists, nbr) must equal autodiff
+    through the XLA gather chain when both select the same neighbours."""
+    rng = np.random.default_rng(7)
+    B, S, N, k = 2, 12, 40, 6
+    q = jnp.asarray(rng.standard_normal((B, S, 3)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((B, N, 3)).astype(np.float32))
+
+    def make_loss(fn):
+        def loss(q, p):
+            d, idx, nb = fn(q, p, k)
+            return jnp.sum(jnp.sin(d)) + jnp.sum(jnp.cos(1.3 * nb))
+        return loss
+
+    # guard: both paths must agree on indices for the grads to be comparable
+    _, i1, _ = knn_gather(q, p, k)
+    _, i2, _ = knn_gather_reference(q, p, k)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    v1, g1 = jax.value_and_grad(make_loss(knn_gather), argnums=(0, 1))(q, p)
+    v2, g2 = jax.value_and_grad(make_loss(knn_gather_reference),
+                                argnums=(0, 1))(q, p)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_group_points_pallas_matches_xla(monkeypatch):
+    """group_points through the forced kernel path ≡ the XLA path."""
+    from upp_tpu.ops.group import group_points
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+
+    g_xla = group_points(xyz, 16, 8)
+    monkeypatch.setenv("UPP_FORCE_PALLAS_KNN", "1")
+    group_points.clear_cache()
+    try:
+        g_pls = group_points(xyz, 16, 8)
+    finally:
+        monkeypatch.delenv("UPP_FORCE_PALLAS_KNN")
+        group_points.clear_cache()
+    np.testing.assert_array_equal(np.asarray(g_pls.idx), np.asarray(g_xla.idx))
+    np.testing.assert_allclose(np.asarray(g_pls.neighborhood),
+                               np.asarray(g_xla.neighborhood),
+                               rtol=1e-6, atol=1e-6)

@@ -70,13 +70,28 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
     jax.lax.fori_loop(0, n_samples, body, start)
 
 
+def _auto_tile_b(B: int, n_padded: int) -> int:
+    """Largest batch tile whose 5 [tile, N] f32 buffers (x/y/z/init + dists
+    scratch) fit a ~12 MB VMEM budget. Grid programs run sequentially on the
+    TensorCore, so fewer/fatter programs amortise the per-iteration VPU
+    latency of the selection loop (measured: 12.9 → 8.8 ms for 8192→1024 at
+    B=120 going from tile 8 to 40)."""
+    budget = 12 * 1024 * 1024
+    t = budget // (5 * 4 * n_padded)
+    t = max(8, min(120, t // 8 * 8))
+    return min(t, ((B + 7) // 8) * 8)
+
+
 @functools.partial(jax.jit, static_argnames=("n_samples", "tile_b", "interpret"))
 def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
                    valid: Optional[jnp.ndarray] = None,
-                   tile_b: int = 8, interpret: bool = False) -> jnp.ndarray:
+                   tile_b: Optional[int] = None,
+                   interpret: bool = False) -> jnp.ndarray:
     """FPS indices [B, n_samples] via the fused kernel. Pads B to tile_b, N to
     a lane multiple, and n_samples to a lane multiple internally."""
     B, N, _ = xyz.shape
+    if tile_b is None:
+        tile_b = _auto_tile_b(B, N + ((-N) % 128))
     n_pad = (-N) % 128
     b_pad = (-B) % tile_b
     s_out = n_samples + ((-n_samples) % 128)
@@ -114,7 +129,7 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
 
 def fps_pallas(xyz: jnp.ndarray, n_samples: int,
                valid: Optional[jnp.ndarray] = None,
-               tile_b: int = 8, interpret: bool = False
+               tile_b: Optional[int] = None, interpret: bool = False
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ops.fps.fps backed by the fused kernel."""
     idx = fps_pallas_idx(xyz, n_samples, valid, tile_b=tile_b,

@@ -36,7 +36,12 @@ def group_points(xyz: jnp.ndarray, num_group: int, group_size: int,
     always per-batch [B, G, S], the natural layout for jnp.take_along_axis.
     """
     center, center_idx = fps(xyz, num_group, valid)
-    _, idx = knn(center, xyz, group_size)          # [B, G, S]
-    neighborhood = index_points(xyz, idx)           # [B, G, S, 3]
+    from .knn_pallas import knn_gather, use_pallas_knn
+    if use_pallas_knn() and xyz.shape[1] >= 256 and group_size <= 42:
+        # fused kNN + coordinate gather in one Pallas pass
+        _, idx, neighborhood = knn_gather(center, xyz, group_size)
+    else:
+        _, idx = knn(center, xyz, group_size)      # [B, G, S]
+        neighborhood = index_points(xyz, idx)       # [B, G, S, 3]
     neighborhood = neighborhood - center[:, :, None, :]
     return Grouped(neighborhood, center, idx, center_idx)

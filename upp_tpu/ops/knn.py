@@ -23,12 +23,23 @@ from .geometry import square_distance, index_points
 def knn(query: jnp.ndarray, points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """For each query, the k nearest of ``points`` (squared distances).
 
+    On TPU backends this dispatches to the fused Pallas kernel
+    (ops/knn_pallas.py) — the XLA ``top_k`` lowers to a full per-row sort and
+    dominates the model's forward pass otherwise. UPP_DISABLE_PALLAS_KNN=1
+    forces the portable path (also the CPU path).
+
     Args:
       query:  [B, S, 3]
       points: [B, N, 3]
     Returns:
       (sq_dists [B, S, k] ascending, idx [B, S, k] int32)
     """
+    from .knn_pallas import knn_gather, use_pallas_knn
+    # Pallas wins when N is large (XLA top_k = full per-row sort); for small
+    # source sets the lane padding + per-tile loop overhead loses to XLA.
+    if use_pallas_knn() and points.shape[1] >= 256 and k <= 42:
+        d, idx, _ = knn_gather(query, points, k)
+        return d, idx
     sq = square_distance(query, points)           # [B, S, N]
     n = points.shape[1]
     if k > n:
@@ -49,6 +60,9 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int
     """pytorch3d.ops.knn_points analogue: also gathers the neighbour xyz.
 
     Returns (sq_dists [B,S,k], idx [B,S,k], nn_xyz [B,S,k,3])."""
+    from .knn_pallas import knn_gather, use_pallas_knn
+    if use_pallas_knn() and points.shape[1] >= 256 and k <= 42:
+        return knn_gather(query, points, k)       # gather fused in-kernel
     d, idx = knn(query, points, k)
     return d, idx, index_points(points, idx)
 

@@ -1,0 +1,197 @@
+"""Fused Pallas TPU kernel: kNN search + neighbour gather in one pass.
+
+Replaces the ``square_distance → lax.top_k → take_along_axis`` chain
+(ops/knn.py + ops/geometry.index_points — the TPU-side stand-ins for the
+reference's KNN_CUDA / pytorch3d.ops.knn_points, see
+``models/Point_MAE_unify.py:56``). On v5e the XLA chain costs ~7 ms for the
+flagship's [120, 64, 1096] k=32 grouping (top_k lowers to a full per-row sort;
+take_along_axis lowers to a scalar gather); this kernel keeps the [TILE_S, N]
+distance tile, the k-selection state and the gathered coordinates resident in
+VMEM and runs the whole thing in <1 ms:
+
+  grid = (B, S / TILE_S); per program:
+    q        [TILE_S, 128]  VMEM   (xyz in lanes 0..2)
+    px/py/pz [1, N]          VMEM   (coordinate rows, N on lanes)
+    D        [TILE_S, N]     VMEM scratch (broadcast-form squared distances)
+    k iterations (fori_loop):
+      m    = rowwise min(D)
+      nxt  = rowwise first index attaining m     (top_k tie-break: lowest idx)
+      out lanes j: idx/dist (buffer 0), nbx/nby/nbz (buffer 1) via masked
+      lane writes; D = where(col == nxt, BIG, D)
+
+Outputs are packed into two [B, S, 128] f32 buffers (lane layout documented
+in ``knn_gather``) because TPU output tiles need 128 lanes; k ≤ 42.
+
+Differentiability: the selected indices are integer outputs (no gradient);
+squared distances and gathered coordinates get a custom VJP —
+  d_j  = ||q - nb_j||²   →  ∂d/∂q = 2(q-nb_j), ∂d/∂nb_j = -2(q-nb_j)
+  nb_j = points[idx_j]   →  ∂nb/∂points = scatter-add over idx
+matching exactly what autodiff produces through the XLA gather chain (tested
+against it in tests/test_knn_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = 1e30
+
+
+def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref, *,
+                k: int, n_real: int):
+    tile_s = q_ref.shape[0]
+    n = px_ref.shape[1]
+    qx = q_ref[:, 0:1]                                        # [TILE_S, 1]
+    qy = q_ref[:, 1:2]
+    qz = q_ref[:, 2:3]
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]              # [1, N]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_s, n), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_s, 128), 1)
+
+    d = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2      # [TILE_S, N]
+    # padded columns can never be selected
+    d = jnp.where(iota_n >= n_real, _BIG, d)
+    d_ref[:] = d
+
+    packed_ref[:] = jnp.zeros((tile_s, 128), jnp.float32)
+    nb_ref[:] = jnp.zeros((tile_s, 128), jnp.float32)
+
+    def body(j, _):
+        dcur = d_ref[:]
+        m = jnp.min(dcur, axis=1, keepdims=True)              # [TILE_S, 1]
+        cand = jnp.where(dcur == m, iota_n, n)
+        nxt = jnp.min(cand, axis=1, keepdims=True)            # [TILE_S, 1]
+        sel = (iota_n == nxt).astype(jnp.float32)
+        nbx = jnp.sum(px * sel, axis=1, keepdims=True)
+        nby = jnp.sum(py * sel, axis=1, keepdims=True)
+        nbz = jnp.sum(pz * sel, axis=1, keepdims=True)
+        # buffer 0: lanes [0:k) idx (as f32, exact for N < 2^24), [k:2k) dist
+        packed_ref[:] = jnp.where(lane == j, nxt.astype(jnp.float32),
+                                  jnp.where(lane == k + j, m, packed_ref[:]))
+        # buffer 1: lanes [0:k) nbx, [k:2k) nby, [2k:3k) nbz
+        nb_ref[:] = jnp.where(lane == j, nbx,
+                              jnp.where(lane == k + j, nby,
+                                        jnp.where(lane == 2 * k + j, nbz,
+                                                  nb_ref[:])))
+        d_ref[:] = jnp.where(iota_n == nxt, _BIG, dcur)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "tile_s", "interpret"))
+def _knn_gather_fwd_impl(query: jnp.ndarray, points: jnp.ndarray, k: int,
+                         tile_s: int = 128,
+                         interpret: Optional[bool] = None):
+    if interpret is None:  # CPU has no Mosaic backend: interpret there
+        interpret = jax.default_backend() == "cpu"
+    B, S, _ = query.shape
+    N = points.shape[1]
+    assert 3 * k <= 128, f"k={k} too large for the packed lane layout"
+    q = jax.lax.stop_gradient(query).astype(jnp.float32)
+    p = jax.lax.stop_gradient(points).astype(jnp.float32)
+
+    ts = min(tile_s, max(8, S))
+    s_pad = (-S) % ts
+    n_pad = (-N) % 128
+    qp = jnp.pad(q, ((0, 0), (0, s_pad), (0, 125)))
+    px = jnp.pad(p[..., 0], ((0, 0), (0, n_pad)))[:, None]   # [B, 1, N]
+    py = jnp.pad(p[..., 1], ((0, 0), (0, n_pad)))[:, None]
+    pz = jnp.pad(p[..., 2], ((0, 0), (0, n_pad)))[:, None]
+
+    sp, np_ = S + s_pad, N + n_pad
+    q_spec = pl.BlockSpec((1, ts, 128), lambda b, s: (b, s, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, np_), lambda b, s: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, ts, 128), lambda b, s: (b, s, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref):
+        _knn_kernel(q_ref.at[0], px_ref.at[0], py_ref.at[0], pz_ref.at[0],
+                    packed_ref.at[0], nb_ref.at[0], d_ref, k=k, n_real=N)
+
+    packed, nb = pl.pallas_call(
+        kernel,
+        grid=(B, sp // ts),
+        in_specs=[q_spec, row_spec, row_spec, row_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, sp, 128), jnp.float32),
+                   jax.ShapeDtypeStruct((B, sp, 128), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((ts, np_), jnp.float32)],
+        interpret=interpret,
+    )(qp, px, py, pz)
+
+    idx = packed[:, :S, :k].astype(jnp.int32)
+    dists = packed[:, :S, k:2 * k]
+    nbr = jnp.stack([nb[:, :S, :k], nb[:, :S, k:2 * k],
+                     nb[:, :S, 2 * k:3 * k]], axis=-1)        # [B, S, k, 3]
+    return dists, idx, nbr
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def knn_gather(query: jnp.ndarray, points: jnp.ndarray, k: int
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused kNN + gather: (sq_dists [B,S,k], idx [B,S,k], nbr [B,S,k,3]).
+
+    Ascending by distance, ties broken by lowest index (lax.top_k semantics).
+    Gradients flow through sq_dists and nbr exactly as through the XLA
+    ``square_distance → top_k → take_along_axis`` chain.
+    """
+    d, idx, nbr = _knn_gather_fwd_impl(query, points, k)
+    # recompute dists/nbr "symbolically" so downstream sees the same values
+    # but with the right dtype promotion
+    return d, idx, nbr.astype(points.dtype)
+
+
+def _knn_gather_fwd(query, points, k):
+    d, idx, nbr = knn_gather(query, points, k)
+    return (d, idx, nbr), (query, points, idx, nbr)
+
+
+def _knn_gather_bwd(k, res, cotangents):
+    query, points, idx, nbr = res
+    g_d, _, g_nb = cotangents
+    qf = query.astype(jnp.float32)
+    diff = qf[:, :, None, :] - nbr.astype(jnp.float32)        # [B,S,k,3]
+    # d_j = ||q - nb_j||^2
+    g_q = jnp.sum(2.0 * g_d[..., None] * diff, axis=2)
+    g_p_rows = g_nb.astype(jnp.float32) - 2.0 * g_d[..., None] * diff
+    B, S, _ = idx.shape
+    b_iota = jnp.arange(B, dtype=idx.dtype)[:, None]
+    flat_idx = idx.reshape(B, S * k)
+    g_points = jnp.zeros(points.shape, jnp.float32).at[
+        b_iota, flat_idx].add(g_p_rows.reshape(B, S * k, 3))
+    return g_q.astype(query.dtype), g_points.astype(points.dtype)
+
+
+knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
+
+
+def use_pallas_knn() -> bool:
+    if os.environ.get("UPP_FORCE_PALLAS_KNN"):   # tests: interpret on CPU
+        return True
+    return (jax.default_backend() != "cpu"
+            and not os.environ.get("UPP_DISABLE_PALLAS_KNN"))
+
+
+def knn_gather_reference(query, points, k):
+    """XLA formulation (CPU path + parity oracle): identical semantics."""
+    from .geometry import index_points
+    d = (jnp.sum(query.astype(jnp.float32) ** 2, -1)[..., None]
+         + jnp.sum(points.astype(jnp.float32) ** 2, -1)[:, None, :]
+         - 2.0 * jnp.einsum("bsd,bnd->bsn", query.astype(jnp.float32),
+                            points.astype(jnp.float32)))
+    neg, idx = jax.lax.top_k(-d, k)
+    idx = idx.astype(jnp.int32)
+    nbr = index_points(points, idx)
+    dsel = jnp.take_along_axis(d, idx, axis=-1)
+    return dsel, idx, nbr

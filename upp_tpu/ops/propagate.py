@@ -13,7 +13,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .geometry import square_distance, index_points
+from .geometry import index_points
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -31,11 +31,11 @@ def inverse_distance_interp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     Returns:
       [B, N, D] interpolated features.
     """
-    d = square_distance(xyz1, xyz2)                     # [B, N, S]
+    from .knn import knn
     S = xyz2.shape[1]
     kk = min(k, S)
-    neg, idx = jax.lax.top_k(-d, kk)                    # ascending distances
-    w = 1.0 / ((-neg) + eps)                            # [B, N, k]
+    dk, idx = knn(xyz1, xyz2, kk)                       # ascending distances
+    w = 1.0 / (dk + eps)                                # [B, N, k]
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     if S <= 256:
         # small source set: express the weighted gather as a dense [N, S]

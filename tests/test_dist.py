@@ -64,10 +64,14 @@ def test_sharded_step_matches_single_device():
     for n_dev in (1, 8):
         mesh = make_mesh(jax.devices()[:n_dev])
         with mesh:
+            # fresh copies per mesh: the train step donates its state, and on
+            # a 1-device mesh replicate() aliases rather than copies — without
+            # this the donated buffers are gone for the second run
+            fresh = jax.tree.map(jnp.array, variables)
             state = TrainState(
-                params=replicate(mesh, variables["params"]),
-                batch_stats=replicate(mesh, variables["batch_stats"]),
-                opt_state=replicate(mesh, tx.init(variables["params"])),
+                params=replicate(mesh, fresh["params"]),
+                batch_stats=replicate(mesh, fresh["batch_stats"]),
+                opt_state=replicate(mesh, tx.init(fresh["params"])),
                 step=jnp.zeros((), jnp.int32))
             step = make_train_step(model, tx, config, args)
             pts = shard_batch(mesh, jnp.asarray(pts_h))

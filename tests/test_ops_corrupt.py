@@ -110,3 +110,33 @@ def test_propagate_residual():
     interp = inverse_distance_interp(xyz1, xyz2, p2, k=8, eps=1e-3)
     np.testing.assert_allclose(np.asarray(out - p1), 0.3 * np.asarray(interp),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_separate_threshold_equals_sorted_formulation():
+    """The threshold-mask crop (no [B,N,3] sort-gather) must select the same
+    partial/crop point SETS and the same FPS start as the literal
+    sorted-subset formulation of ``misc.seprate_point_cloud``."""
+    from upp_tpu.ops.corrupt import _viewpoint_dist
+    from upp_tpu.ops.fps import fps
+
+    B, N, num_crop, sp = 2, 1024, 256, 128
+    pts = _cloud(B, N, 7)
+    key = jax.random.key(11)
+    keys = jax.random.split(key, B)
+    d = jax.vmap(lambda k, p: _viewpoint_dist(k, p))(keys, pts)
+    order = np.argsort(np.asarray(d), axis=1, kind="stable")
+    sorted_pts = np.take_along_axis(np.asarray(pts), order[..., None], axis=1)
+
+    # literal formulation: FPS of the sorted far-side subset
+    ref_partial, _ = fps(jnp.asarray(sorted_pts[:, num_crop:]), sp)
+    # production formulation (what separate_point_cloud now runs)
+    partial, _ = separate_point_cloud(key, pts, num_crop, sample_points=sp)
+    # same selected point multiset (tie-breaks can only differ on exact
+    # distance ties, absent in random data)
+    for b in range(B):
+        s_ref = {tuple(np.round(x, 6)) for x in np.asarray(ref_partial)[b]}
+        s_new = {tuple(np.round(x, 6)) for x in np.asarray(partial)[b]}
+        assert s_ref == s_new
+    # identical first selection (explicit start matches sorted-subset start)
+    np.testing.assert_allclose(np.asarray(partial)[:, 0],
+                               np.asarray(ref_partial)[:, 0], rtol=0, atol=0)

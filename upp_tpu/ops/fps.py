@@ -29,7 +29,9 @@ _BIG = 1e10  # pointnet2 initialises the running distances to 1e10
 
 
 def fps(xyz: jnp.ndarray, n_samples: int,
-        valid: Optional[jnp.ndarray] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        valid: Optional[jnp.ndarray] = None,
+        start_idx: Optional[jnp.ndarray] = None
+        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sample ``n_samples`` points per cloud by furthest point sampling.
 
     Default on TPU-like backends: the fused Pallas kernel (6x faster — the
@@ -51,6 +53,11 @@ def fps(xyz: jnp.ndarray, n_samples: int,
       n_samples: number of points to select (static).
       valid: optional [B, N] bool mask; False entries are never selected.
              Callers must guarantee >= n_samples valid points per cloud.
+      start_idx: optional [B] int32 — explicit first selection per cloud
+             (must be a valid slot). Default: the first valid slot, i.e.
+             pointnet2's start-at-0 on unmasked input. Lets callers
+             reproduce "FPS of a distance-sorted subset" without actually
+             materialising the sorted cloud (see ops/corrupt.py).
     Returns:
       (sampled [B, n_samples, 3] same dtype as xyz, idx [B, n_samples] int32)
     """
@@ -58,13 +65,14 @@ def fps(xyz: jnp.ndarray, n_samples: int,
     if (jax.default_backend() != "cpu"
             and not os.environ.get("UPP_DISABLE_PALLAS_FPS")):
         from .fps_pallas import fps_pallas
-        return fps_pallas(xyz, n_samples, valid)
-    return _fps_xla(xyz, n_samples, valid)
+        return fps_pallas(xyz, n_samples, valid, start_idx=start_idx)
+    return _fps_xla(xyz, n_samples, valid, start_idx)
 
 
 @partial(jax.jit, static_argnames=("n_samples",))
 def _fps_xla(xyz: jnp.ndarray, n_samples: int,
-             valid: Optional[jnp.ndarray] = None
+             valid: Optional[jnp.ndarray] = None,
+             start_idx: Optional[jnp.ndarray] = None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Portable XLA while-loop formulation (reference implementation)."""
     B, N, _ = xyz.shape
@@ -81,6 +89,8 @@ def _fps_xla(xyz: jnp.ndarray, n_samples: int,
     else:
         select_mask = jnp.broadcast_to(valid, (B, N))
         start = jnp.argmax(select_mask.astype(jnp.int32), axis=1).astype(jnp.int32)
+    if start_idx is not None:
+        start = jnp.broadcast_to(start_idx.astype(jnp.int32), (B,))
 
     def body(i, state):
         dists, cur, idxs = state

@@ -44,12 +44,17 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n), 1)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n_samples), 1)
 
-    # start = first valid slot per row (0 when unmasked). The fori carry is a
-    # full (TILE_B, 128) lane tile: (TILE_B, 1) scalars-per-row int tensors
-    # are below the int32 tile minimum and intermittently mis-lower on this
-    # toolchain (observed sporadic TPU worker faults).
+    # start = the explicit-start sentinel slot (init == 2*_BIG, see
+    # fps_pallas_idx) if present, else the first valid slot (0 when
+    # unmasked). The fori carry is a full (TILE_B, 128) lane tile:
+    # (TILE_B, 1) scalars-per-row int tensors are below the int32 tile
+    # minimum and intermittently mis-lower on this toolchain (observed
+    # sporadic TPU worker faults).
     lane = 128
-    start = jnp.min(jnp.where(init > 0.0, iota_n, n), axis=1, keepdims=True)
+    s_explicit = jnp.min(jnp.where(init > 1.5 * _BIG, iota_n, n), axis=1,
+                         keepdims=True)
+    s_valid = jnp.min(jnp.where(init > 0.0, iota_n, n), axis=1, keepdims=True)
+    start = jnp.where(s_explicit < n, s_explicit, s_valid)
     start = jnp.broadcast_to(start.astype(jnp.int32), (tile_b, lane))
 
     def body(i, cur_full):
@@ -71,27 +76,42 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
 
 
 def _auto_tile_b(B: int, n_padded: int) -> int:
-    """Largest batch tile whose 5 [tile, N] f32 buffers (x/y/z/init + dists
-    scratch) fit a ~12 MB VMEM budget. Grid programs run sequentially on the
-    TensorCore, so fewer/fatter programs amortise the per-iteration VPU
-    latency of the selection loop (measured: 12.9 → 8.8 ms for 8192→1024 at
-    B=120 going from tile 8 to 40)."""
+    """Pick the batch tile for the selection loop. Two measured effects
+    (v5e, B=120, 8192→1024): fatter tiles amortise per-iteration VPU latency
+    (12.9 ms at tile 8 → 8.8 ms at tile 40), but padded rows are pure waste
+    and dominate program count (tile 72 → 144 padded rows → 10.0 ms loses to
+    tile 40 → 120 rows). So: among multiples of 8 whose 5 [tile, N] f32
+    buffers (x/y/z/init + dists scratch) fit a ~12 MB VMEM budget, minimise
+    total padded rows first, then program count."""
     budget = 12 * 1024 * 1024
-    t = budget // (5 * 4 * n_padded)
-    t = max(8, min(120, t // 8 * 8))
-    return min(t, ((B + 7) // 8) * 8)
+    cap = budget // (5 * 4 * n_padded)
+    cap = max(8, min(120, cap // 8 * 8))
+    b_pad8 = ((B + 7) // 8) * 8
+    if cap >= b_pad8:
+        return b_pad8
+    best = None
+    for t in range(8, cap + 1, 8):
+        progs = -(-B // t)
+        rows = progs * t
+        key = (rows, progs)
+        if best is None or key < best[0]:
+            best = (key, t)
+    return best[1]
 
 
 @functools.partial(jax.jit, static_argnames=("n_samples", "tile_b", "interpret"))
 def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
                    valid: Optional[jnp.ndarray] = None,
                    tile_b: Optional[int] = None,
-                   interpret: bool = False) -> jnp.ndarray:
+                   interpret: bool = False,
+                   start_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """FPS indices [B, n_samples] via the fused kernel. Pads B to tile_b, N to
     a lane multiple, and n_samples to a lane multiple internally."""
     B, N, _ = xyz.shape
     if tile_b is None:
         tile_b = _auto_tile_b(B, N + ((-N) % 128))
+    if start_idx is not None:
+        start_idx = jnp.broadcast_to(start_idx.astype(jnp.int32), (B,))
     n_pad = (-N) % 128
     b_pad = (-B) % tile_b
     s_out = n_samples + ((-n_samples) % 128)
@@ -104,6 +124,10 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
     else:
         v = jnp.broadcast_to(valid, (B, N))
         init = jnp.where(v, _BIG, -1.0).astype(jnp.float32)
+    if start_idx is not None:
+        # sentinel: the kernel starts at the slot holding 2*_BIG
+        init = jnp.where(jnp.arange(N)[None, :] == start_idx[:, None],
+                         2.0 * _BIG, init)
     if n_pad or b_pad:
         pad = ((0, b_pad), (0, n_pad))
         x = jnp.pad(x, pad)
@@ -129,10 +153,11 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
 
 def fps_pallas(xyz: jnp.ndarray, n_samples: int,
                valid: Optional[jnp.ndarray] = None,
-               tile_b: Optional[int] = None, interpret: bool = False
+               tile_b: Optional[int] = None, interpret: bool = False,
+               start_idx: Optional[jnp.ndarray] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in for ops.fps.fps backed by the fused kernel."""
     idx = fps_pallas_idx(xyz, n_samples, valid, tile_b=tile_b,
-                         interpret=interpret)
+                         interpret=interpret, start_idx=start_idx)
     sampled = jnp.take_along_axis(xyz, idx[..., None], axis=1)
     return sampled, idx

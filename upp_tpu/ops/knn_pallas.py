@@ -46,32 +46,32 @@ _BIG = 1e30
 
 def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref, *,
                 k: int, n_real: int):
-    tile_s = q_ref.shape[0]
-    n = px_ref.shape[1]
-    qx = q_ref[:, 0:1]                                        # [TILE_S, 1]
-    qy = q_ref[:, 1:2]
-    qz = q_ref[:, 2:3]
-    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]              # [1, N]
-    iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_s, n), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_s, 128), 1)
+    bt, tile_s, _ = q_ref.shape
+    n = px_ref.shape[2]
+    qx = q_ref[:, :, 0:1]                                     # [BT, TILE_S, 1]
+    qy = q_ref[:, :, 1:2]
+    qz = q_ref[:, :, 2:3]
+    px, py, pz = px_ref[:], py_ref[:], pz_ref[:]              # [BT, 1, N]
+    iota_n = jax.lax.broadcasted_iota(jnp.int32, (bt, tile_s, n), 2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bt, tile_s, 128), 2)
 
-    d = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2      # [TILE_S, N]
+    d = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2      # [BT, TILE_S, N]
     # padded columns can never be selected
     d = jnp.where(iota_n >= n_real, _BIG, d)
     d_ref[:] = d
 
-    packed_ref[:] = jnp.zeros((tile_s, 128), jnp.float32)
-    nb_ref[:] = jnp.zeros((tile_s, 128), jnp.float32)
+    packed_ref[:] = jnp.zeros((bt, tile_s, 128), jnp.float32)
+    nb_ref[:] = jnp.zeros((bt, tile_s, 128), jnp.float32)
 
     def body(j, _):
         dcur = d_ref[:]
-        m = jnp.min(dcur, axis=1, keepdims=True)              # [TILE_S, 1]
+        m = jnp.min(dcur, axis=-1, keepdims=True)             # [BT, TILE_S, 1]
         cand = jnp.where(dcur == m, iota_n, n)
-        nxt = jnp.min(cand, axis=1, keepdims=True)            # [TILE_S, 1]
+        nxt = jnp.min(cand, axis=-1, keepdims=True)           # [BT, TILE_S, 1]
         sel = (iota_n == nxt).astype(jnp.float32)
-        nbx = jnp.sum(px * sel, axis=1, keepdims=True)
-        nby = jnp.sum(py * sel, axis=1, keepdims=True)
-        nbz = jnp.sum(pz * sel, axis=1, keepdims=True)
+        nbx = jnp.sum(px * sel, axis=-1, keepdims=True)
+        nby = jnp.sum(py * sel, axis=-1, keepdims=True)
+        nbz = jnp.sum(pz * sel, axis=-1, keepdims=True)
         # buffer 0: lanes [0:k) idx (as f32, exact for N < 2^24), [k:2k) dist
         packed_ref[:] = jnp.where(lane == j, nxt.astype(jnp.float32),
                                   jnp.where(lane == k + j, m, packed_ref[:]))
@@ -84,6 +84,19 @@ def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref, *,
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
+
+
+def _auto_bt(B: int, ts: int, np_: int) -> int:
+    """Batch rows per program: grid programs run sequentially, so folding
+    batch into the block amortises launch overhead for small-S groupings.
+    Budget: ~2 MB for the [bt, ts, N] distance scratch — Mosaic's stack also
+    holds several temporaries of the same shape inside the selection loop
+    (measured: a 5.9 MB scratch OOM'd the 16 MB scoped VMEM)."""
+    budget = 2 * 1024 * 1024
+    bt = max(1, min(B, budget // (4 * ts * np_)))
+    while B % bt:        # avoid padded batch rows (pure waste)
+        bt -= 1
+    return bt
 
 
 @functools.partial(jax.jit,
@@ -108,25 +121,22 @@ def _knn_gather_fwd_impl(query: jnp.ndarray, points: jnp.ndarray, k: int,
     pz = jnp.pad(p[..., 2], ((0, 0), (0, n_pad)))[:, None]
 
     sp, np_ = S + s_pad, N + n_pad
-    q_spec = pl.BlockSpec((1, ts, 128), lambda b, s: (b, s, 0),
+    bt = _auto_bt(B, ts, np_)
+    q_spec = pl.BlockSpec((bt, ts, 128), lambda b, s: (b, s, 0),
                           memory_space=pltpu.VMEM)
-    row_spec = pl.BlockSpec((1, 1, np_), lambda b, s: (b, 0, 0),
+    row_spec = pl.BlockSpec((bt, 1, np_), lambda b, s: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, ts, 128), lambda b, s: (b, s, 0),
+    out_spec = pl.BlockSpec((bt, ts, 128), lambda b, s: (b, s, 0),
                             memory_space=pltpu.VMEM)
-
-    def kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref):
-        _knn_kernel(q_ref.at[0], px_ref.at[0], py_ref.at[0], pz_ref.at[0],
-                    packed_ref.at[0], nb_ref.at[0], d_ref, k=k, n_real=N)
 
     packed, nb = pl.pallas_call(
-        kernel,
-        grid=(B, sp // ts),
+        functools.partial(_knn_kernel, k=k, n_real=N),
+        grid=(B // bt, sp // ts),
         in_specs=[q_spec, row_spec, row_spec, row_spec],
         out_specs=(out_spec, out_spec),
         out_shape=(jax.ShapeDtypeStruct((B, sp, 128), jnp.float32),
                    jax.ShapeDtypeStruct((B, sp, 128), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((ts, np_), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, ts, np_), jnp.float32)],
         interpret=interpret,
     )(qp, px, py, pz)
 

@@ -152,11 +152,14 @@ def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     for idx, (pts, label) in it:
         pts_d = shard_batch(mesh, jnp.asarray(pts)) if pts.shape[0] % mesh.size == 0 \
             else jnp.asarray(pts)
-        preds.append(np.asarray(eval_step(variables, pts_d)))
+        # keep predictions on device until the end of the sweep: a per-batch
+        # fetch costs a full host<->device round trip on tunneled backends
+        preds.append(eval_step(variables, pts_d))
         labels.append(label)
         if idx is not None:
             idxs.append(idx)
-    preds = np.concatenate(preds)
+    preds = np.concatenate([np.asarray(p) for p in jax.device_get(preds)]) \
+        if preds else np.zeros((0,), np.int64)
     labels = np.concatenate(labels)
     hit = (preds == labels)
     idx = (np.concatenate(idxs) if idxs

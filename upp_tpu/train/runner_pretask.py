@@ -159,12 +159,14 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
     variables = state.variables
     viewpoints = VIEWPOINTS_8 if in_detail else VIEWPOINTS_8[:1]
+    pending = []   # fetch once after the sweep (per-batch fetch = RT stall)
     for batch in loader:
         gt = jnp.asarray(batch[0])
         for vp in viewpoints:
-            m = eval_step(variables, gt, jnp.asarray(vp, jnp.float32))
-            meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
-                           float(m["dense_l1"]), float(m["dense_l2"])])
+            pending.append(eval_step(variables, gt, jnp.asarray(vp, jnp.float32)))
+    for m in jax.device_get(pending):
+        meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
+                       float(m["dense_l1"]), float(m["dense_l2"])])
     print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
               % (epoch, meters.avg(3)), logger=logger)
     return CDMetric(meters.avg(3))

@@ -95,3 +95,83 @@ def test_shard_batch_multi_device():
     assert len(xs.sharding.device_set) == 4
     p = replicate(mesh, {"w": jnp.ones((3, 3))})
     assert len(p["w"].sharding.device_set) == 4
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """dp×tp hybrid: the PEFT train step over a (data=4, model=2) mesh with
+    Megatron-style column/row-parallel shardings on the scanned block stacks
+    (parallel/mesh.tp_shardings) must reproduce the 1-device loss and updated
+    params — the partitioner inserts the all-reduces; no model-code change."""
+    import types
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import (make_mesh, replicate, shard_batch,
+                                       tp_shardings)
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_cls import PEFT_LIST, make_train_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    point_num, n_pts_ds, B = 128, 512, 8
+    config = ConfigDict.from_nested({
+        "model": _flagship_cfg(tiny=True).to_plain(),
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 5e-4, "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10, "initial_epochs": 1}},
+        "dataset": {"train": {"_base_": {"N_POINTS": n_pts_ds}}},
+        "npoints": point_num, "grad_norm_clip": 10,
+        "noisy_train": True, "data_augmentation": "scale-translate",
+    })
+    args = types.SimpleNamespace(incomplete_cropping=True, noise=True,
+                                 noise_type=("gaussian_noise", "lidar_noise"),
+                                 normalize=False)
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(model, rngs,
+                              jnp.zeros((2, point_num + 72, 3), jnp.float32),
+                              completion_prompt=True, denoise=True,
+                              point_num=point_num, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=10,
+                               peft_list=PEFT_LIST)
+    pts_h = np.random.default_rng(0).standard_normal(
+        (B, n_pts_ds, 3)).astype(np.float32)
+    label_h = np.random.default_rng(1).integers(0, 6, B).astype(np.int32)
+
+    results = {}
+    for n_dev, mp in ((1, 1), (8, 2)):
+        mesh = make_mesh(jax.devices()[:n_dev], model_parallel=mp)
+        with mesh:
+            fresh = jax.tree.map(jnp.array, variables)
+            if mp > 1:
+                params = jax.device_put(fresh["params"],
+                                        tp_shardings(mesh, fresh["params"]))
+                # moments inherit the param shardings
+                opt_state = tx.init(params)
+                sharded = [l for l in jax.tree_util.tree_leaves(params)
+                           if len(getattr(l.sharding, "spec", ())) == 3]
+                assert sharded, "tp_shardings sharded no stacked kernels"
+            else:
+                params = replicate(mesh, fresh["params"])
+                opt_state = replicate(mesh, tx.init(fresh["params"]))
+            state = TrainState(
+                params=params,
+                batch_stats=replicate(mesh, fresh["batch_stats"]),
+                opt_state=opt_state,
+                step=jnp.zeros((), jnp.int32))
+            step = make_train_step(model, tx, config, args)
+            pts = shard_batch(mesh, jnp.asarray(pts_h))
+            label = shard_batch(mesh, jnp.asarray(label_h))
+            state, m = step(state, pts, label, jax.random.key(7))
+            flat = jax.tree_util.tree_leaves(jax.device_get(state.params))
+            results[n_dev] = (float(m["loss"]),
+                              float(sum(np.abs(l).sum() for l in flat)))
+    loss1, p1 = results[1]
+    loss8, p8 = results[8]
+    np.testing.assert_allclose(loss8, loss1, rtol=5e-5)
+    np.testing.assert_allclose(p8, p1, rtol=5e-5)

@@ -53,3 +53,50 @@ def replicate(mesh: Mesh, tree):
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, dev), tree)
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# --------------------------------------------------------------- tensor par.
+
+def _tp_spec(path: str, leaf) -> P:
+    """PartitionSpec for one parameter under tensor parallelism over the
+    ``model`` mesh axis.
+
+    The Megatron-style factorisation on the scanned block stacks
+    (``models/scan_blocks.py``; leaves are [L, in, out] with L = depth):
+    column-parallel qkv/fc1 (shard the output feature dim), row-parallel
+    proj/fc2 (shard the input feature dim) — XLA/GSPMD then inserts exactly
+    one all-reduce per attention and per MLP. Everything else (norms, biases,
+    prompts, adapters, heads — all tiny) stays replicated."""
+    last = path.rsplit("/", 1)[-1]
+    nd = getattr(leaf, "ndim", 0)
+    if nd == 3:
+        if last in ("attn_qkv_kernel", "mlp_fc1_kernel"):
+            return P(None, None, "model")        # column parallel
+        if last in ("attn_proj_kernel", "mlp_fc2_kernel"):
+            return P(None, "model", None)        # row parallel
+    return P()
+
+
+def tp_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for ``params`` sharding the transformer block
+    matmuls over the ``model`` axis (replicated when the axis has size 1).
+
+    Use with ``jax.device_put(params, tp_shardings(mesh, params))`` and a
+    train step jitted with these as in/out shardings — the collectives
+    (all-reduce of row-parallel partial sums, gradient psums over ``data``)
+    are inserted by the partitioner; no model-code change."""
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), params)
+    sizes = {"model": mesh.shape["model"]}
+
+    def spec(path_tuple, leaf):
+        path = "/".join(str(getattr(k, "key", k)) for k in path_tuple)
+        s = _tp_spec(path, leaf)
+        # only shard dims the axis divides evenly
+        for dim, name in enumerate(s):
+            if name == "model" and leaf.shape[dim] % sizes["model"]:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, s)
+
+    return jax.tree_util.tree_map_with_path(spec, params)

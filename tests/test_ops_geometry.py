@@ -132,3 +132,36 @@ def test_fps_pallas_interpret_matches_xla():
     i_xla = _fps_xla(pts, 64, valid=jnp.asarray(valid))[1]
     i_pl = fps_pallas(pts, 64, valid=jnp.asarray(valid), interpret=True)[1]
     np.testing.assert_array_equal(np.asarray(i_xla), np.asarray(i_pl))
+
+
+@pytest.mark.quick
+def test_fps_pallas_emitted_coords_and_grads():
+    """The kernel-emitted sample coordinates must equal the idx-gather, and
+    gradients w.r.t. the input cloud must match the gather formulation's
+    (scatter of the cotangent into the selected rows)."""
+    import jax
+    import jax.numpy as jnp
+    from upp_tpu.ops.fps_pallas import fps_pallas
+
+    pts = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (2, 200, 3)).astype(np.float32))
+
+    def loss_pallas(p):
+        s, _ = fps_pallas(p, 64, interpret=True)
+        return jnp.sum(jnp.sin(s * 1.7))
+
+    def loss_gather(p):
+        _, idx = fps_pallas(p, 64, interpret=True)
+        s = jnp.take_along_axis(p, idx[..., None], axis=1)
+        return jnp.sum(jnp.sin(s * 1.7))
+
+    s, idx = fps_pallas(pts, 64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(np.asarray(pts),
+                                          np.asarray(idx)[..., None], axis=1),
+        rtol=0, atol=0)
+    v1, g1 = jax.value_and_grad(loss_pallas)(pts)
+    v2, g2 = jax.value_and_grad(loss_gather)(pts)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-6, atol=1e-6)

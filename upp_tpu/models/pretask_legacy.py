@@ -47,7 +47,8 @@ class PointMAEPretaskLegacy(nn.Module):
             decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
             group_size=cfg.group_size, num_group=cfg.num_group,
             mask_ratio=tc.mask_ratio,
-            prompter=PrompterConfig.from_cfg(cfg.get("prompter_config")))
+            prompter=PrompterConfig.from_cfg(cfg.get("prompter_config")),
+            remat=bool(cfg.get("remat_blocks", True)))
         self.mask_prompter = RectifyPrompter(
             hidden_dimension=tc.trans_dim)
 

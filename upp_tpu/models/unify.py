@@ -66,6 +66,7 @@ class _UnifyCore(nn.Module):
     mask_ratio: float = 0.5
     prompter: PrompterConfig = PrompterConfig()
     if_half: bool = False   # bf16 matmuls in the block stacks (cfg `if_half`)
+    remat: bool = False     # remat block bwd (cfg `remat_blocks`)
 
     @property
     def vis_num(self) -> int:
@@ -81,7 +82,7 @@ class _UnifyCore(nn.Module):
         self.blocks = ScannedEncoderStack(
             embed_dim=self.trans_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=self.drop_path_rate, prompter=self.prompter,
-            compute_dtype=cdtype)
+            compute_dtype=cdtype, remat=self.remat)
         self.norm = nn.LayerNorm()
         self.shape_pred = TwoLayerHead(self.trans_dim // 2, self.vis_short)
         self.coarse_pred = TwoLayerHead(
@@ -91,7 +92,7 @@ class _UnifyCore(nn.Module):
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=self.trans_dim, depth=self.decoder_depth,
             num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate,
-            compute_dtype=cdtype)
+            compute_dtype=cdtype, remat=self.remat)
         self.dense_pred = nn.Dense(3 * self.group_size, name="dense_pred_conv")
         self.rectify_prompter = RectifyPrompter(hidden_dimension=self.trans_dim)
         self.mask_token = self.param(
@@ -170,7 +171,8 @@ class PointMAEUnify(nn.Module):
             group_size=cfg.group_size, num_group=cfg.num_group,
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
-            if_half=bool(cfg.get("if_half", False)))
+            if_half=bool(cfg.get("if_half", False)),
+            remat=bool(cfg.get("remat_blocks", True)))
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, tc.trans_dim))
         self.cls_pos = self.param("cls_pos", trunc_normal_init,
@@ -242,7 +244,9 @@ class PointMAEPretask(nn.Module):
             decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
             group_size=cfg.group_size, num_group=cfg.num_group,
             mask_ratio=tc.mask_ratio,
-            prompter=PrompterConfig.from_cfg(cfg.prompter_config))
+            prompter=PrompterConfig.from_cfg(cfg.prompter_config),
+            if_half=bool(cfg.get("if_half", False)),
+            remat=bool(cfg.get("remat_blocks", True)))
 
     def __call__(self, pts, *, point_num: int = 2048,
                  train_with_gaussian: bool = True, deterministic: bool = True):

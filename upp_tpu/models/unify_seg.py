@@ -90,7 +90,9 @@ class PointMAEUnifySeg(nn.Module):
             encoder_dims=tc.encoder_dims, drop_path_rate=tc.drop_path_rate,
             decoder_depth=tc.decoder_depth, decoder_num_heads=tc.decoder_num_heads,
             group_size=cfg.group_size, num_group=64, mask_ratio=tc.mask_ratio,
-            prompter=PrompterConfig.from_cfg(cfg.prompter_config))
+            prompter=PrompterConfig.from_cfg(cfg.prompter_config),
+            if_half=bool(cfg.get("if_half", False)),
+            remat=bool(cfg.get("remat_blocks", True)))
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.label_conv = LabelConv()

@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e10
 
 
-def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
-                n_samples: int):
+def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, cx_ref, cy_ref,
+                cz_ref, dists_ref, *, n_samples: int):
     tile_b, n = init_ref.shape
     init = init_ref[:]
     dists_ref[:] = init
@@ -64,6 +64,11 @@ def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, dists_ref, *,
         cx = jnp.sum(x * sel, axis=1, keepdims=True)
         cy = jnp.sum(y * sel, axis=1, keepdims=True)
         cz = jnp.sum(z * sel, axis=1, keepdims=True)
+        # emit the selected coordinates directly — saves the caller a
+        # [B, S] row gather from HBM (multi-ms on this backend)
+        cx_ref[:] = jnp.where(iota_s == i, cx, cx_ref[:])
+        cy_ref[:] = jnp.where(iota_s == i, cy, cy_ref[:])
+        cz_ref[:] = jnp.where(iota_s == i, cz, cz_ref[:])
         d = (x - cx) ** 2 + (y - cy) ** 2 + (z - cz) ** 2
         nd = jnp.minimum(dists_ref[:], d)                        # -1 stays -1
         dists_ref[:] = nd
@@ -138,17 +143,23 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
     bp, np_ = init.shape
     row_spec = pl.BlockSpec((tile_b, np_), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
-    idx = pl.pallas_call(
+    out_spec = pl.BlockSpec((tile_b, s_out), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+    idx, cx, cy, cz = pl.pallas_call(
         functools.partial(_fps_kernel, n_samples=s_out),
         grid=(bp // tile_b,),
         in_specs=[row_spec, row_spec, row_spec, row_spec],
-        out_specs=pl.BlockSpec((tile_b, s_out), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, s_out), jnp.int32),
+        out_specs=(out_spec,) * 4,
+        out_shape=(jax.ShapeDtypeStruct((bp, s_out), jnp.int32),
+                   jax.ShapeDtypeStruct((bp, s_out), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, s_out), jnp.float32),
+                   jax.ShapeDtypeStruct((bp, s_out), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((tile_b, np_), jnp.float32)],
         interpret=interpret,
     )(x, y, z, init)
-    return idx[:B, :n_samples]
+    coords = jnp.stack([cx[:B, :n_samples], cy[:B, :n_samples],
+                        cz[:B, :n_samples]], axis=-1)
+    return idx[:B, :n_samples], coords
 
 
 def fps_pallas(xyz: jnp.ndarray, n_samples: int,
@@ -156,8 +167,18 @@ def fps_pallas(xyz: jnp.ndarray, n_samples: int,
                tile_b: Optional[int] = None, interpret: bool = False,
                start_idx: Optional[jnp.ndarray] = None
                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Drop-in for ops.fps.fps backed by the fused kernel."""
-    idx = fps_pallas_idx(xyz, n_samples, valid, tile_b=tile_b,
-                         interpret=interpret, start_idx=start_idx)
-    sampled = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+    """Drop-in for ops.fps.fps backed by the fused kernel.
+
+    The sampled coordinates come straight out of the kernel (no HBM row
+    gather). Gradients w.r.t. ``xyz`` still flow exactly as through
+    ``take_along_axis``: the correction term below is identically zero in
+    the forward value (t - t), so XLA's algebraic simplifier drops the
+    gather from the forward program, while autodiff's transpose of the
+    non-stopped gather (a scatter-add into xyz) remains in the backward —
+    the same backward the gather formulation produces."""
+    idx, sampled = fps_pallas_idx(xyz, n_samples, valid, tile_b=tile_b,
+                                  interpret=interpret, start_idx=start_idx)
+    sampled = sampled.astype(xyz.dtype)
+    t = jnp.take_along_axis(xyz, idx[..., None], axis=1)
+    sampled = sampled + (t - jax.lax.stop_gradient(t))
     return sampled, idx

@@ -330,7 +330,7 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
         return model.apply(variables, points, deterministic=True)
 
     rng = jax.random.key(args.seed + 4242)
-    preds, labels = [], []
+    pending, labels = [], []
     variables = state.variables
     vote_idx = 0
     for pts, label in loader:
@@ -340,7 +340,9 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
             vote_idx += 1
             logits = vote_logits(variables, pts, rng, np.int32(vote_idx))
             acc_logits = logits if acc_logits is None else acc_logits + logits
-        preds.append(np.asarray(jnp.argmax(acc_logits, -1)))
+        # keep on device until the sweep ends (per-batch fetch = RT stall)
+        pending.append(jnp.argmax(acc_logits, -1))
         labels.append(label)
-    preds, labels = np.concatenate(preds), np.concatenate(labels)
+    preds = np.concatenate([np.asarray(p) for p in jax.device_get(pending)])
+    labels = np.concatenate(labels)
     return float((preds == labels).mean() * 100.0)

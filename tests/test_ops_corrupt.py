@@ -140,3 +140,28 @@ def test_separate_threshold_equals_sorted_formulation():
     # identical first selection (explicit start matches sorted-subset start)
     np.testing.assert_allclose(np.asarray(partial)[:, 0],
                                np.asarray(ref_partial)[:, 0], rtol=0, atol=0)
+
+
+def test_separate_handles_distance_ties():
+    """Duplicated points create exact distance ties at the crop threshold;
+    the threshold-mask split must still assign exactly num_crop points to the
+    crop side (stable-sort semantics), not dump every tie into the crop."""
+    from upp_tpu.ops.corrupt import _viewpoint_dist
+
+    B, N, num_crop, sp = 1, 512, 128, 64
+    base = np.asarray(_cloud(1, 64, 9))            # 64 unique points
+    pts = jnp.asarray(np.tile(base, (1, 8, 1)))    # each repeated 8x -> ties
+    key = jax.random.key(21)
+    partial, crop = separate_point_cloud(key, pts, num_crop, sample_points=sp)
+    assert partial.shape == (B, sp, 3) and crop.shape == (B, sp, 3)
+    # the crop side must only contain points from the num_crop nearest slots
+    d = np.asarray(jax.vmap(lambda k, p: _viewpoint_dist(k, p))(
+        jax.random.split(key, B), pts))
+    order = np.argsort(d[0], kind="stable")
+    crop_set = {tuple(np.round(x, 6)) for x in np.asarray(pts)[0][order[:num_crop]]}
+    for x in np.asarray(crop)[0]:
+        assert tuple(np.round(x, 6)) in crop_set
+    partial_set = {tuple(np.round(x, 6))
+                   for x in np.asarray(pts)[0][order[num_crop:]]}
+    for x in np.asarray(partial)[0]:
+        assert tuple(np.round(x, 6)) in partial_set

@@ -99,19 +99,26 @@ class BatchLoader:
     def iter_indexed(self):
         """Yield (global dataset indices [b], batch tuple). Shard padding
         duplicates indices (``_indices``); eval code dedupes on them so
-        multi-host metrics aren't biased by repeated samples."""
-        yield from self._indexed_batches()
+        multi-host metrics aren't biased by repeated samples. Uses the same
+        background prefetch thread as ``__iter__``."""
+        yield from self._prefetched(self._indexed_batches())
 
     def __iter__(self):
+        yield from self._prefetched(self._batches())
+
+    def _prefetched(self, gen):
+        """Run ``gen`` on a background thread with a bounded queue so host
+        dataset reads overlap device dispatch; exceptions re-raise on the
+        consumer thread."""
         if self.prefetch <= 0:
-            yield from self._batches()
+            yield from gen
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
 
         def worker():
             try:
-                for b in self._batches():
+                for b in gen:
                     q.put(b)
                 q.put(_END)
             except BaseException as e:  # re-raised on the consumer thread

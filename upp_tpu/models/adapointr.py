@@ -201,6 +201,14 @@ class CrossAttnBlock(nn.Module):
         def run_self_local(h, name="local_self_attn"):
             m = _local_attn(local, self.dim, self.num_heads, name)
             if local == "rw_deform":
+                if denoise_length:
+                    # the reference's DeformableLocalAttention.forward has no
+                    # denoise_length parameter and raises TypeError on this
+                    # combination — refuse rather than silently leak denoise
+                    # tokens into true-query neighbourhoods
+                    raise ValueError(
+                        "rw_deform self-attention does not support the "
+                        "denoise task (reference Transformer_utils.py:159)")
                 return m(h, q_pos)
             return m(h, q_pos, denoise_length=denoise_length)
 
@@ -272,6 +280,9 @@ class AdaPCTransformer(nn.Module):
     enc_styles: Tuple[str, ...] = ("attn-graph",) + ("attn",) * 5
     dec_self_styles: Tuple[str, ...] = ("attn-graph",) + ("attn",) * 7
     dec_cross_styles: Tuple[str, ...] = ("attn-graph",) + ("attn",) * 7
+    enc_combine: str = "concat"
+    dec_self_combine: str = "concat"
+    dec_cross_combine: str = "concat"
     denoise_length: int = 64
 
     @nn.compact
@@ -286,6 +297,7 @@ class AdaPCTransformer(nn.Module):
         for i in range(self.enc_depth):
             x = SelfAttnBlock(self.embed_dim, self.num_heads,
                               block_style=self.enc_styles[i],
+                              combine_style=self.enc_combine,
                               name=f"encoder{i}")(x, coor)
 
         glob = GeluMLP(1024, self.global_feature_dim, name="increase_dim")(x)
@@ -328,6 +340,8 @@ class AdaPCTransformer(nn.Module):
             q = CrossAttnBlock(self.embed_dim, self.num_heads,
                                self_style=self.dec_self_styles[i],
                                cross_style=self.dec_cross_styles[i],
+                               self_combine=self.dec_self_combine,
+                               cross_combine=self.dec_cross_combine,
                                name=f"decoder{i}")(
                 q, x, coarse, coor,
                 denoise_length=denoise_length if training else None)
@@ -359,10 +373,29 @@ class AdaPoinTrModel(nn.Module):
             self.factor = step
             self.rebuild_hidden = nn.Dense(512, name="rebuild_hidden")
             self.rebuild_out = nn.Dense(3 * step, name="rebuild_out")
+        enc = cfg.get("encoder_config", cfg)
+        enc_depth = int(enc.get("depth", 6))
+        dec_depth = int(dec.get("depth", 8))
+
+        def styles(node, key, depth, default_first="attn-graph"):
+            lst = node.get(key, None)
+            if lst is None:
+                lst = [default_first] + ["attn"] * (depth - 1)
+            assert len(lst) == depth, (key, lst, depth)
+            return tuple(lst)
+
+        # style lists / combine modes from the config, exactly the keys the
+        # reference's PointTransformerEncoder/DecoderEntry expand
+        # (``AdaPoinTr.py:389-476``); defaults = the released configs' zoo
         self.base_model = AdaPCTransformer(
             embed_dim=self.trans_dim, num_query=self.num_query,
-            enc_depth=int(cfg.get("encoder_config", cfg).get("depth", 6)),
-            dec_depth=int(dec.get("depth", 8)))
+            enc_depth=enc_depth, dec_depth=dec_depth,
+            enc_styles=styles(enc, "block_style_list", enc_depth),
+            enc_combine=str(enc.get("combine_style", "concat")),
+            dec_self_styles=styles(dec, "self_attn_block_style_list", dec_depth),
+            dec_self_combine=str(dec.get("self_attn_combine_style", "concat")),
+            dec_cross_styles=styles(dec, "cross_attn_block_style_list", dec_depth),
+            dec_cross_combine=str(dec.get("cross_attn_combine_style", "concat")))
         self.increase_dim = ConvBNLeaky(1024, 1024)
         self.reduce_map = nn.Dense(self.trans_dim)
 

@@ -224,7 +224,11 @@ class ScannedEncoderStack(nn.Module):
                 return h, y
 
             if self.remat:
-                body = jax.checkpoint(body, prevent_cse=False)
+                # policy sweep (v5e, flagship step): none 64.0, full remat
+                # 60.4, dots_saveable 65.1, dots_with_no_batch_dims 59.6 ms
+                body = jax.checkpoint(
+                    body, prevent_cse=False,
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
             x, (ys, stats) = jax.lax.scan(body, x, xs)
             if use_prop and stats is not None:
                 stats_updates.append((lo, hi, stats))

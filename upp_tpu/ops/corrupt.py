@@ -119,8 +119,16 @@ def _separate_resampled(key: jax.Array, xyz: jnp.ndarray, num_crop,
     nc = jnp.asarray(num_crop, jnp.int32)          # python int or traced scalar
     thresh = jnp.take_along_axis(
         d_sorted, jnp.broadcast_to(nc - 1, (B, 1)), axis=1)        # [B, 1]
-    partial_valid = d > thresh             # farthest N - num_crop points
-    crop_valid = ~partial_valid
+    # exact stable-argsort membership even with distance TIES at the
+    # threshold (duplicated points): points strictly below go to crop; of
+    # the ties at d == thresh, the first (num_crop - #below) in index order
+    # go to crop — exactly where a stable sort places them
+    below = d < thresh
+    at = d == thresh
+    n_below = jnp.sum(below, axis=1, keepdims=True)            # [B, 1]
+    tie_rank = jnp.cumsum(at.astype(jnp.int32), axis=1)        # 1-based
+    crop_valid = below | (at & (tie_rank <= nc - n_below))
+    partial_valid = ~crop_valid            # farthest N - num_crop points
     big = jnp.float32(jnp.inf)
     start_partial = jnp.argmin(jnp.where(partial_valid, d, big), axis=1)
     start_crop = jnp.argmin(d, axis=1)

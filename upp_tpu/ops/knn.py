@@ -26,7 +26,10 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, j
     On TPU backends this dispatches to the fused Pallas kernel
     (ops/knn_pallas.py) — the XLA ``top_k`` lowers to a full per-row sort and
     dominates the model's forward pass otherwise. UPP_DISABLE_PALLAS_KNN=1
-    forces the portable path (also the CPU path).
+    forces the portable path (also the CPU path). NOTE: the env switch is
+    read at TRACE time; set it before the first call for a given shape, or
+    call ``knn.clear_cache()`` afterwards — a cached jit keeps whichever
+    path it was traced with.
 
     Args:
       query:  [B, S, 3]

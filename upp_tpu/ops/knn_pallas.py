@@ -9,10 +9,11 @@ take_along_axis lowers to a scalar gather); this kernel keeps the [TILE_S, N]
 distance tile, the k-selection state and the gathered coordinates resident in
 VMEM and runs the whole thing in <1 ms:
 
-  grid = (B, S / TILE_S); per program:
-    q        [TILE_S, 128]  VMEM   (xyz in lanes 0..2)
-    px/py/pz [1, N]          VMEM   (coordinate rows, N on lanes)
-    D        [TILE_S, N]     VMEM scratch (broadcast-form squared distances)
+  grid = (B / BT, S / TILE_S); per program (BT batch rows folded into the
+  block to amortise grid-program launch overhead, VMEM-budgeted):
+    q        [BT, TILE_S, 128]  VMEM   (xyz in lanes 0..2)
+    px/py/pz [BT, 1, N]          VMEM   (coordinate rows, N on lanes)
+    D        [BT, TILE_S, N]     VMEM scratch (broadcast-form sq. distances)
     k iterations (fori_loop):
       m    = rowwise min(D)
       nxt  = rowwise first index attaining m     (top_k tie-break: lowest idx)

@@ -158,8 +158,11 @@ def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
         labels.append(label)
         if idx is not None:
             idxs.append(idx)
-    preds = np.concatenate([np.asarray(p) for p in jax.device_get(preds)]) \
-        if preds else np.zeros((0,), np.int64)
+    if not preds:   # empty shard on this host
+        preds = np.zeros((0,), np.int64)
+        labels = [np.zeros((0,), np.int64)]
+    else:
+        preds = np.concatenate([np.asarray(p) for p in jax.device_get(preds)])
     labels = np.concatenate(labels)
     hit = (preds == labels)
     idx = (np.concatenate(idxs) if idxs

@@ -116,20 +116,30 @@ def validate(eval_step, state, loader, epoch, logger=None):
     all_preds, all_targets, all_cls = [], [], []
     cat_names = list(SEG_CLASSES.keys())
     label_to_cat = {p: c for c, parts in SEG_CLASSES.items() for p in parts}
-    pending = []   # device logits; fetch once (per-batch fetch = RT stall)
-    for pts, cls, seg in loader:
-        pending.append(eval_step(variables, jnp.asarray(pts),
-                                 jnp.asarray(cls)))
-        all_targets.append(seg)
-        all_cls.append(cls)
-    for logits, seg in zip(jax.device_get(pending), all_targets):
-        logits = np.asarray(logits)
+    # dispatch a small window ahead, fetching with a lag of FETCH_LAG batches:
+    # keeps the pipeline full without retaining the whole sweep's dense
+    # [B, npoints, 50] logits in HBM
+    FETCH_LAG = 4
+    pending: list = []
+
+    def drain(logits_batch, seg):
+        logits = np.asarray(logits_batch)
         preds = np.zeros(seg.shape, np.int32)
         for i in range(seg.shape[0]):
             cat = label_to_cat[int(seg[i, 0])]
             parts = SEG_CLASSES[cat]
             preds[i] = np.argmax(logits[i][:, parts], axis=1) + parts[0]
         all_preds.append(preds)
+
+    for pts, cls, seg in loader:
+        pending.append((eval_step(variables, jnp.asarray(pts),
+                                  jnp.asarray(cls)), seg))
+        all_targets.append(seg)
+        all_cls.append(cls)
+        if len(pending) > FETCH_LAG:
+            drain(*pending.pop(0))
+    for item in pending:
+        drain(*item)
     m = seg_miou_metrics(np.concatenate(all_preds), np.concatenate(all_targets),
                          np.concatenate(all_cls), SEG_CLASSES)
     print_log("Epoch %d test Accuracy: %f  Class avg mIOU: %f  "

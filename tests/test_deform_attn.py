@@ -144,3 +144,49 @@ def test_adapointr_blocks_with_deform_styles_run():
     variables = blk.init(jax.random.key(1), x, v, pos, vpos)
     out = blk.apply(variables, x, v, pos, vpos, denoise_length=8)
     assert out.shape == x.shape
+
+
+def test_adapointr_config_style_keys_reach_blocks():
+    """`encoder_config.block_style_list` / `decoder_config.*_style*` config
+    keys (the reference's PointTransformerEncoder/DecoderEntry surface,
+    ``AdaPoinTr.py:389-476``) must actually select the block styles — the
+    param tree must contain the style-specific modules."""
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.utils.config import ConfigDict
+
+    cfg = ConfigDict.from_nested({
+        "NAME": "AdaPoinTr",
+        "num_query": 16, "num_points": 256, "decoder_type": "fc",
+        "encoder_config": {
+            "embed_dim": 48, "depth": 2,
+            "block_style_list": ["attn-deform", "attn"],
+            "combine_style": "concat"},
+        "decoder_config": {
+            "embed_dim": 48, "depth": 2,
+            "self_attn_block_style_list": ["attn-graph", "attn"],
+            "self_attn_combine_style": "onebyone",
+            "cross_attn_block_style_list": ["attn-deform_graph", "attn"],
+            "cross_attn_combine_style": "concat"},
+    })
+    model = build_model_from_cfg(cfg)
+    pts = jnp.zeros((2, 128, 3), jnp.float32)
+    variables = jit_init(model, {"params": jax.random.key(0),
+                                 "denoise": jax.random.key(1)},
+                         pts, deterministic=True)
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = {"/".join(str(getattr(k, "key", k)) for k in path)
+             for path, _ in flat}
+    joined = " ".join(names)
+    # encoder block 0: attn-deform concat -> merge map + deformable module
+    assert "encoder0/merge_map" in joined, joined[:500]
+    assert "encoder0/local_attn" in joined
+    assert "encoder1/merge_map" not in joined        # plain attn block
+    # decoder block 0: onebyone self (graph module, no merge map); cross
+    # concat with deform_graph (merge map present)
+    assert "decoder0/local_self_attn" in joined
+    assert "decoder0/self_attn_merge_map" not in joined
+    assert "decoder0/cross_attn_merge_map" in joined
+    # and the model still runs
+    out = model.apply(variables, pts, deterministic=True)
+    assert out[0].shape[0] == 2

@@ -9,13 +9,20 @@ optax structures round-trip."""
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..utils.logger import print_log
 from .state import TrainState
+
+# one in-flight async save per checkpoint path (joined before overwrite /
+# restore / interpreter exit)
+_PENDING: Dict[str, threading.Thread] = {}
+_PENDING_LOCK = threading.Lock()
 
 
 def _checkpointer():
@@ -27,21 +34,56 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def wait_for_pending_saves() -> None:
+    """Block until every in-flight async checkpoint write has landed."""
+    with _PENDING_LOCK:
+        threads = list(_PENDING.values())
+        _PENDING.clear()
+    for t in threads:
+        t.join()
+
+
 def save_checkpoint(state: TrainState, epoch: int, prefix: str,
                     experiment_path: str, metrics: Optional[Dict] = None,
-                    logger=None) -> None:
+                    logger=None, block: bool = False) -> None:
+    """Write {params, opt_state, batch_stats, epoch, metrics} to
+    ``<experiment_path>/<prefix>``.
+
+    Default is ASYNCHRONOUS: the state is snapshotted on-device (cheap HBM
+    copy, safe against the train step's buffer donation) and the
+    host-transfer + orbax write run on a background thread — on a tunneled
+    TPU the fetch alone is ~8-10 s, which would otherwise stall training
+    every epoch (``tools/builder.py:127-136`` blocks the same way).
+    ``block=True`` restores synchronous behaviour."""
     path = os.path.join(os.path.abspath(experiment_path), prefix)
-    opt_leaves = [np.asarray(x) for x in jax.tree_util.tree_leaves(state.opt_state)]
-    payload = {
-        "params": _to_numpy(state.params),
-        "opt_leaves": opt_leaves,
-        "epoch": int(epoch),
-        # orbax rejects empty dict nodes — keep a sentinel entry
-        "metrics": {str(k): float(v) for k, v in (metrics or {}).items()} or {"_": 0.0},
-    }
-    if state.batch_stats:
-        payload["batch_stats"] = _to_numpy(state.batch_stats)
-    _checkpointer().save(path, payload, force=True)
+    # snapshot: device-side copies detach the payload from donated buffers
+    snap_params = jax.tree_util.tree_map(jnp.copy, state.params)
+    snap_opt = [jnp.copy(x) for x in jax.tree_util.tree_leaves(state.opt_state)]
+    snap_stats = (jax.tree_util.tree_map(jnp.copy, state.batch_stats)
+                  if state.batch_stats else None)
+    meta = {"epoch": int(epoch),
+            # orbax rejects empty dict nodes — keep a sentinel entry
+            "metrics": {str(k): float(v)
+                        for k, v in (metrics or {}).items()} or {"_": 0.0}}
+
+    def write():
+        payload = {"params": _to_numpy(snap_params),
+                   "opt_leaves": [np.asarray(x) for x in snap_opt], **meta}
+        if snap_stats is not None:
+            payload["batch_stats"] = _to_numpy(snap_stats)
+        _checkpointer().save(path, payload, force=True)
+
+    with _PENDING_LOCK:
+        prev = _PENDING.pop(path, None)
+    if prev is not None:
+        prev.join()   # never two writers on the same path
+    if block:
+        write()
+    else:
+        t = threading.Thread(target=write, daemon=False)
+        t.start()
+        with _PENDING_LOCK:
+            _PENDING[path] = t
     print_log(f"Save checkpoint at {path}", logger=logger)
 
 
@@ -50,6 +92,7 @@ def resume_checkpoint(state: TrainState, experiment_path: str,
                       ) -> Tuple[TrainState, int, Dict]:
     """Restore a TrainState saved by save_checkpoint; returns
     (state, start_epoch, metrics). Missing checkpoint → epoch 0."""
+    wait_for_pending_saves()
     path = os.path.join(os.path.abspath(experiment_path), prefix)
     if not os.path.exists(path):
         print_log(f"[RESUME] no checkpoint at {path}", logger=logger)
@@ -71,6 +114,7 @@ def resume_checkpoint(state: TrainState, experiment_path: str,
 def load_params_only(state: TrainState, experiment_path: str,
                      prefix: str = "ckpt-best", logger=None) -> TrainState:
     """Tolerant weights-only load (builder.load_model analogue)."""
+    wait_for_pending_saves()
     path = os.path.join(os.path.abspath(experiment_path), prefix)
     restored = _checkpointer().restore(path)
     return state.replace(params=restored["params"],

@@ -296,6 +296,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                                         metrics=metrics.state_dict(), logger=logger)
         ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics=metrics.state_dict(), logger=logger)
+    ckpt_io.wait_for_pending_saves()
     return best
 
 

@@ -133,4 +133,5 @@ def run_net(args, config, train_writer=None, val_writer=None):
                   (epoch, time.time() - t0, meters.avg(0)), logger=logger)
         ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 logger=logger)
+    ckpt_io.wait_for_pending_saves()
     return state

@@ -236,6 +236,7 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
         ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics={k: v for k, v in metrics.items()
                                          if isinstance(v, float)}, logger=logger)
+    ckpt_io.wait_for_pending_saves()
     return metrics
 
 

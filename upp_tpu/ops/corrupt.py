@@ -42,6 +42,28 @@ def lidar_noise(key: jax.Array, points: jnp.ndarray, number: int = 64,
     return points[:, idx, :] * factor[None, :, None]
 
 
+def _kth_smallest_nonneg(d: jnp.ndarray, k) -> jnp.ndarray:
+    """Exact k-th smallest (1-based, per row) of NON-NEGATIVE f32 ``d``
+    [B, N] by binary search on the monotone uint32 bit pattern — 32
+    compare+count passes instead of a full per-row sort (the crop threshold
+    is the only thing `separate_point_cloud` needs from the sort)."""
+    bits = jax.lax.bitcast_convert_type(d, jnp.uint32)
+    k = jnp.asarray(k, jnp.int32)
+
+    def body(_, lo_hi):
+        lo, hi = lo_hi          # invariant: count(<= lo-1) < k <= count(<= hi)
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum((bits <= mid[:, None]).astype(jnp.int32), axis=1)
+        go_right = cnt < k
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    B = d.shape[0]
+    lo = jnp.zeros((B,), jnp.uint32)
+    hi = jnp.full((B,), jnp.uint32(0x7F800000))   # +inf
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
+
+
 def _viewpoint_dist(key: jax.Array, points: jnp.ndarray,
                     fixed_viewpoint: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Squared distance of one cloud's points to a (random) unit viewpoint
@@ -115,10 +137,8 @@ def _separate_resampled(key: jax.Array, xyz: jnp.ndarray, num_crop,
     # validity mask + an explicit start (= the same point the reference's
     # FPS-of-the-sorted-subset would start from). Identical point sets and
     # start; only argmax tie-breaks inside FPS can differ (measure-zero).
-    d_sorted = jnp.sort(d, axis=1)
     nc = jnp.asarray(num_crop, jnp.int32)          # python int or traced scalar
-    thresh = jnp.take_along_axis(
-        d_sorted, jnp.broadcast_to(nc - 1, (B, 1)), axis=1)        # [B, 1]
+    thresh = _kth_smallest_nonneg(d, nc)[:, None]                  # [B, 1]
     # exact stable-argsort membership even with distance TIES at the
     # threshold (duplicated points): points strictly below go to crop; of
     # the ties at d == thresh, the first (num_crop - #below) in index order

@@ -264,10 +264,24 @@ def load_reference_transformer_utils() -> Dict:
 
 # ------------------------------------------------------------- config object
 
+class _AttrDict(dict):
+    """dict + attribute access (EasyDict-alike): the seg model both expands
+    ``**config.prompter_config`` and reads
+    ``config.prompter_config.downstream_adapter``
+    (``Point_MAE_unify_segment.py:357,585``)."""
+
+    def __getattr__(self, k):
+        try:
+            return self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+
+
 class RefCfg:
     """Attribute/nested-dict hybrid matching the reference's EasyDict usage
     (``config.transformer_config.trans_dim``; ``config.prompter_config`` must
-    stay a plain dict for ``**`` expansion and ``[...]`` indexing)."""
+    stay dict-like for ``**`` expansion and ``[...]`` indexing, but also
+    support attribute reads)."""
 
     def __init__(self, d: Dict):
         self._d = d
@@ -277,13 +291,15 @@ class RefCfg:
             v = self._d[k]
         except KeyError as e:
             raise AttributeError(k) from e
-        if isinstance(v, dict) and k != "prompter_config":
-            return RefCfg(v)
+        if isinstance(v, dict):
+            return _AttrDict(v) if k == "prompter_config" else RefCfg(v)
         return v
 
     def get(self, k, default=None):
         v = self._d.get(k, default)
-        return RefCfg(v) if isinstance(v, dict) and k != "prompter_config" else v
+        if isinstance(v, dict):
+            return _AttrDict(v) if k == "prompter_config" else RefCfg(v)
+        return v
 
 
 def randomize_bn_stats(model: tnn.Module, seed: int = 0) -> None:
@@ -295,3 +311,31 @@ def randomize_bn_stats(model: tnn.Module, seed: int = 0) -> None:
             if isinstance(m, (tnn.BatchNorm1d, tnn.BatchNorm2d)):
                 m.running_mean.uniform_(-0.2, 0.2, generator=g)
                 m.running_var.uniform_(0.8, 1.25, generator=g)
+
+
+_SEG_CACHE: Dict[str, Dict] = {}
+
+
+def load_reference_seg() -> Dict:
+    """Exec the patched ``models/Point_MAE_unify_segment.py`` (the UPP part
+    segmentation model) with the shared CUDA stubs; cross-wires
+    Group/propagate (from Point_MAE_unify) and Block/RectifyPrompter/
+    TransformerDecoder (from Point_MAE_pretask_dev) exactly as its imports
+    would have bound them."""
+    if _SEG_CACHE:
+        return _SEG_CACHE
+    base = load_reference_models()
+    ns = _base_globals()
+    ns.update({
+        "square_distance": base["modules"]["square_distance"],
+        "index_points": base["modules"]["index_points"],
+        "Group": base["unify"]["Group"],
+        "propagate": base["unify"]["propagate"],
+        "Block": base["dev"]["Block"],
+        "RectifyPrompter": base["dev"]["RectifyPrompter"],
+        "TransformerDecoder": base["dev"]["TransformerDecoder"],
+    })
+    exec(compile(_patched_source(f"{REF_MODELS}/Point_MAE_unify_segment.py"),
+                 "ref/Point_MAE_unify_segment.py", "exec"), ns)
+    _SEG_CACHE.update(ns)
+    return _SEG_CACHE

@@ -172,3 +172,76 @@ def test_pretask_eval_parity(tmp_path):
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(g_rebuild), w_rebuild.numpy(),
                                rtol=1e-3, atol=2e-3)
+
+
+SEG_MODEL = {
+    "NAME": "Point_MAE_unify_seg",
+    "transformer_config": {
+        "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 384,
+        "encoder_dims": 384, "depth": 12, "drop_path_rate": 0.1,
+        "num_heads": 6, "decoder_depth": 4, "decoder_num_heads": 6},
+    "trans_dim": 384, "depth": 12, "drop_path_rate": 0.1, "if_half": False,
+    "cls_dim": 50, "num_heads": 6, "group_size": 32, "num_group": 128,
+    "encoder_dims": 384,
+    "adapter_config": {"adapter_dim": 16, "adapter_drop_path_rate": 0.1},
+    "prompter_config": {
+        "rectify_adapter": True, "rectify_prompts": True,
+        "rectify_prompts_num": 3, "rectify_prompts_depth": 3,
+        "rectify_depth": 3,
+        "pretask_adapter": True, "pretask_prompts": True,
+        "pretask_prompts_num": 3, "pretask_prompts_depth": 6,
+        "pretask_depth": 6,
+        "downstream_adapter": True, "downstream_prompts": True,
+        "downstream_prompts_num": 1, "downstream_prompts_depth": 6,
+        "downstream_depth": 12},
+    "gather_idx": True, "prompt_propagation_after": False,
+}
+
+
+def test_unify_seg_full_model_parity(tmp_path):
+    """Point_MAE_unify_seg end-to-end: denoise → completion → 128-group
+    downstream with {3,7,11} feature taps → label_conv conditioning →
+    propagation_0 to the full-resolution query → log-softmax seg head
+    (``Point_MAE_unify_segment.py:329-620``), reference torch vs flax on
+    identical weights through the production ckpt shim."""
+    from ref_torch import load_reference_seg
+
+    ns = load_reference_seg()
+    torch.manual_seed(0)
+    tm = ns["Point_MAE_unify_seg"](RefCfg(SEG_MODEL)).eval()
+    _randomize_weights(tm, seed=5)
+    randomize_bn_stats(tm, seed=6)
+
+    P_in, N_full, point_num = 1624, 2048, 1624
+    rng = np.random.default_rng(8)
+    pts = rng.standard_normal((2, P_in, 3)).astype(np.float32)
+    label_points = rng.standard_normal((2, N_full, 3)).astype(np.float32)
+    one_hot = np.zeros((2, 16), np.float32)
+    one_hot[0, 3] = one_hot[1, 11] = 1.0
+
+    with torch.no_grad():
+        w_out = tm(torch.from_numpy(pts), torch.from_numpy(one_hot),
+                   label_points=torch.from_numpy(label_points),
+                   completion_prompt=True, denoise=True, point_num=point_num)
+
+    path = str(tmp_path / "seg.pth")
+    torch.save({"base_model": tm.state_dict()}, path)
+    fm = build_model_from_cfg(ConfigDict.from_nested(SEG_MODEL))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(fm.init(rngs, jnp.zeros((2, P_in, 3), jnp.float32),
+                             jnp.asarray(one_hot),
+                             jnp.zeros((2, N_full, 3), jnp.float32),
+                             completion_prompt=True, denoise=True,
+                             point_num=point_num, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    loaded, missing, unexpected = load_into_variables(
+        variables, load_torch_state_dict(path))
+    assert not unexpected, f"shim couldn't place: {unexpected[:10]}"
+    assert not missing, f"model params not in ckpt: {missing[:10]}"
+
+    g_out = fm.apply(loaded, jnp.asarray(pts), jnp.asarray(one_hot),
+                     jnp.asarray(label_points), completion_prompt=True,
+                     denoise=True, point_num=point_num, deterministic=True)
+    w = w_out.numpy() if not isinstance(w_out, tuple) else w_out[0].numpy()
+    np.testing.assert_allclose(np.asarray(g_out), w, rtol=2e-3, atol=2e-3)

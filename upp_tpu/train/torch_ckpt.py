@@ -250,6 +250,12 @@ def load_into_variables(variables, state: Dict[str, np.ndarray],
             if transpose and val.ndim == 2:
                 val = val.T
             stack = np.array(target[cand])
+            if (tuple(val.shape) != tuple(stack.shape[1:])
+                    and val.size == int(np.prod(stack.shape[1:]))):
+                # squeeze can over-collapse singleton dims the row layout
+                # keeps (e.g. seg's [1, C] per-block prompts with
+                # downstream_prompts_num=1 → stacked rows [1, C])
+                val = val.reshape(stack.shape[1:])
             if row >= stack.shape[0] or tuple(val.shape) != tuple(stack.shape[1:]):
                 unexpected.append(tk)
                 continue

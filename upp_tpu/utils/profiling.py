@@ -55,3 +55,125 @@ def cost_analysis(fn, *args, **kwargs) -> Dict[str, Any]:
         "arithmetic_intensity": flops / bytes_accessed if bytes_accessed else 0.0,
         "raw": dict(costs),
     }
+
+
+def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
+                       iters: int = 15, batch_size: int = None):
+    """Per-phase wall-time profile of the flagship PEFT train step.
+
+    Methodology (see BASELINE.md "round 2 step-time profile"): on tunneled
+    TPU backends a synchronous value fetch costs a fixed ~24 ms host round
+    trip and ``jax.block_until_ready`` does not reliably block, so every
+    phase is measured as a PIPELINED ablation of the full donated train step
+    (dispatch ``iters`` steps back-to-back, fetch one scalar at the end) and
+    attributed by differencing. Run:
+
+        python -m upp_tpu.utils.profiling [config.yaml]
+    """
+    import time
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ..models import build_model_from_cfg
+    from ..models.build import jit_init
+    from ..train.optim import build_optimizer
+    from ..train.pipeline import corrupt_batch
+    from ..train.runner_cls import PEFT_LIST, cross_entropy_loss_acc
+    from ..train.state import TrainState
+    from .config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file(config_path)
+    B = int(batch_size or config.total_bs)
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)
+    npoints = int(config.npoints)
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(model, rngs,
+                              jnp.zeros((2, npoints + 72, 3), jnp.float32),
+                              completion_prompt=True, denoise=True,
+                              point_num=npoints, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"],
+                               steps_per_epoch=82, peft_list=PEFT_LIST)
+    rng0 = np.random.default_rng(0)
+    pts = jnp.asarray(rng0.standard_normal((B, n_pts_ds, 3)).astype(np.float32))
+    label = jnp.asarray(rng0.integers(0, 40, B).astype(np.int32))
+    key = jax.random.key(1)
+
+    def make_step(do_pipe=True, passes="full", do_grad=True):
+        def train_step(state, pts, label, rng):
+            rng = jax.random.fold_in(rng, state.step)
+            k_pipe, k_drop, k_path = jax.random.split(rng, 3)
+            if do_pipe:
+                points = corrupt_batch(
+                    k_pipe, pts, npoints=npoints, n_points_dataset=n_pts_ds,
+                    noisy_train=True, incomplete_cropping=True, add_noise=True,
+                    noise_types=("gaussian_noise", "lidar_noise"),
+                    augmentation="scale-translate", normalize=False)
+            else:
+                points = pts[:, :npoints + 72]
+            cp = passes == "full"
+            dn = passes == "full"
+
+            def loss_fn(params):
+                out, mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    points, completion_prompt=cp, denoise=dn,
+                    point_num=npoints, deterministic=False,
+                    rngs={"dropout": k_drop, "droppath": k_path},
+                    mutable=["batch_stats"])
+                loss, acc = cross_entropy_loss_acc(out, label)
+                return loss, (acc, mut["batch_stats"])
+
+            if do_grad:
+                (loss, (_, new_stats)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+            else:
+                loss, (_, new_stats) = loss_fn(state.params)
+                params, opt_state = state.params, state.opt_state
+            return state.replace(params=params, batch_stats=new_stats,
+                                 opt_state=opt_state, step=state.step + 1), loss
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def run(**kw):
+        step = make_step(**kw)
+        cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+        st = TrainState(params=cp(variables["params"]),
+                        batch_stats=cp(variables["batch_stats"]),
+                        opt_state=tx.init(cp(variables["params"])),
+                        step=jnp.zeros((), jnp.int32))
+        st, l = step(st, pts, label, key)
+        float(l)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, l = step(st, pts, label, key)
+        float(l)
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    full = run()
+    no_pipe = run(do_pipe=False)
+    down_only = run(passes="downstream")
+    fwd_only = run(do_grad=False)
+    rows = [
+        ("full train step", full),
+        ("  crop/noise/augment pipeline", full - no_pipe),
+        ("  rectify+completion passes (fwd)", full - down_only),
+        ("  bwd + optimizer (PEFT scope)", full - fwd_only),
+        ("  downstream fwd + encoder/heads", fwd_only - (full - no_pipe)
+         - (full - down_only)),
+    ]
+    print(f"{'phase':44s} ms/step  (bs={B}, pipelined x{iters})")
+    for name, ms in rows:
+        print(f"{name:44s} {ms:7.1f}")
+    return dict(rows)
+
+
+if __name__ == "__main__":
+    import sys
+    profile_train_step(*(sys.argv[1:2] or ["cfgs/unify_modelnet_cls.yaml"]))

@@ -229,7 +229,11 @@ class ScannedEncoderStack(nn.Module):
                 body = jax.checkpoint(
                     body, prevent_cse=False,
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-            x, (ys, stats) = jax.lax.scan(body, x, xs)
+            # partial unroll amortises the per-iteration stacked-param
+            # dynamic-slice overhead (58.2 -> 54.8 ms/step on v5e) and, on
+            # this toolchain, also compiles FASTER than the rolled scan
+            x, (ys, stats) = jax.lax.scan(body, x, xs,
+                                          unroll=min(4, int(n)))
             if use_prop and stats is not None:
                 stats_updates.append((lo, hi, stats))
             if collect_taps:

@@ -84,6 +84,62 @@ def test_frozen_params_get_zero_updates():
     assert float(jnp.abs(updates["downstream_adapter_ln1_kernel"]).max()) > 0.0
 
 
+def test_joint_switch_preserves_optimizer_moments():
+    """The joint-optimization switch must reproduce the reference's in-place
+    requires_grad flip (tools/runner_module.py:228-242): torch AdamW is built
+    over ALL params, skips grad-less ones, and keeps per-param moments+steps
+    for params that stay trainable across the switch. Train 2 steps with the
+    adapter trainable, unfreeze everything, 2 more steps — final params must
+    match torch bit-for-bit (f32 tolerance), which only happens if (a) the
+    surviving moments are reused and (b) the newly-unfrozen param gets fresh
+    lazy bias correction."""
+    import torch
+
+    lr, wd = 1e-3, 0.05
+    rng = np.random.RandomState(0)
+    ga = [rng.randn(4, 8).astype(np.float32) * 0.1 for _ in range(4)]
+    gb = [rng.randn(2, 4).astype(np.float32) * 0.1 for _ in range(4)]
+
+    # --- torch oracle: optimizer over all params, requires_grad flip
+    pa = torch.nn.Parameter(torch.ones(4, 8))
+    pb = torch.nn.Parameter(torch.ones(2, 4))
+    opt = torch.optim.AdamW([pa, pb], lr=lr, weight_decay=wd)
+    for s in range(4):
+        pa.grad = torch.from_numpy(ga[s]) if s >= 2 else None  # frozen early
+        pb.grad = torch.from_numpy(gb[s])
+        opt.step()
+        opt.zero_grad(set_to_none=True)
+
+    # --- UPP-TPU: mask-stable AdamW, transform swap keeps the state
+    cfg = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": lr, "weight_decay": wd}},
+        "scheduler": {"type": "function", "kwargs": {}},
+        "grad_norm_clip": 10,
+    })
+    params = {"backbone_kernel": jnp.ones((4, 8)),
+              "adapter_kernel": jnp.ones((2, 4))}
+    tx, _, _ = build_optimizer(cfg, params, steps_per_epoch=1,
+                               peft_list=["adapter"])
+    state = tx.init(params)
+    import optax
+    for s in range(2):
+        grads = {"backbone_kernel": jnp.asarray(ga[s]),  # zeroed by the mask
+                 "adapter_kernel": jnp.asarray(gb[s])}
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    tx2, _, _ = build_optimizer(cfg, params, steps_per_epoch=1, peft_list=None)
+    for s in range(2, 4):
+        grads = {"backbone_kernel": jnp.asarray(ga[s]),
+                 "adapter_kernel": jnp.asarray(gb[s])}
+        updates, state = tx2.update(grads, state, params)  # state REUSED
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(np.asarray(params["adapter_kernel"]),
+                               pb.detach().numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(params["backbone_kernel"]),
+                               pa.detach().numpy(), rtol=1e-6, atol=1e-7)
+
+
 def test_all_shipped_configs_build_models():
     """The full cfgs/ surface parses and resolves to registered models."""
     import glob

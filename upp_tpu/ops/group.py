@@ -36,8 +36,8 @@ def group_points(xyz: jnp.ndarray, num_group: int, group_size: int,
     always per-batch [B, G, S], the natural layout for jnp.take_along_axis.
     """
     center, center_idx = fps(xyz, num_group, valid)
-    from .knn_pallas import knn_gather, use_pallas_knn
-    if use_pallas_knn() and xyz.shape[1] >= 256 and group_size <= 42:
+    from .knn_pallas import knn_gather, should_dispatch
+    if should_dispatch(xyz.shape[1], group_size):
         # fused kNN + coordinate gather in one Pallas pass
         _, idx, neighborhood = knn_gather(center, xyz, group_size)
     else:

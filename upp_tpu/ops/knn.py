@@ -37,10 +37,8 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, j
     Returns:
       (sq_dists [B, S, k] ascending, idx [B, S, k] int32)
     """
-    from .knn_pallas import knn_gather, use_pallas_knn
-    # Pallas wins when N is large (XLA top_k = full per-row sort); for small
-    # source sets the lane padding + per-tile loop overhead loses to XLA.
-    if use_pallas_knn() and points.shape[1] >= 256 and k <= 42:
+    from .knn_pallas import knn_gather, should_dispatch
+    if should_dispatch(points.shape[1], k):
         d, idx, _ = knn_gather(query, points, k)
         return d, idx
     sq = square_distance(query, points)           # [B, S, N]
@@ -63,8 +61,8 @@ def knn_points(query: jnp.ndarray, points: jnp.ndarray, k: int
     """pytorch3d.ops.knn_points analogue: also gathers the neighbour xyz.
 
     Returns (sq_dists [B,S,k], idx [B,S,k], nn_xyz [B,S,k,3])."""
-    from .knn_pallas import knn_gather, use_pallas_knn
-    if use_pallas_knn() and points.shape[1] >= 256 and k <= 42:
+    from .knn_pallas import knn_gather, should_dispatch
+    if should_dispatch(points.shape[1], k):
         return knn_gather(query, points, k)       # gather fused in-kernel
     d, idx = knn(query, points, k)
     return d, idx, index_points(points, idx)

@@ -113,7 +113,8 @@ def _knn_gather_fwd_impl(query: jnp.ndarray, points: jnp.ndarray, k: int,
     q = jax.lax.stop_gradient(query).astype(jnp.float32)
     p = jax.lax.stop_gradient(points).astype(jnp.float32)
 
-    ts = min(tile_s, max(8, S))
+    # query tile: multiple of 8 (f32 sublane) so Mosaic can lower any S
+    ts = min(tile_s, max(8, -(-S // 8) * 8))
     s_pad = (-S) % ts
     n_pad = (-N) % 128
     qp = jnp.pad(q, ((0, 0), (0, s_pad), (0, 125)))
@@ -197,6 +198,20 @@ def use_pallas_knn() -> bool:
         return True
     return (jax.default_backend() != "cpu"
             and not os.environ.get("UPP_DISABLE_PALLAS_KNN"))
+
+
+def should_dispatch(n: int, k: int) -> bool:
+    """Single home for the Pallas-vs-portable kNN dispatch predicate.
+
+    Pallas wins when the source set is large (XLA ``top_k`` lowers to a full
+    per-row sort); for small N the lane padding + per-tile selection loop
+    loses to XLA. k ≤ 42 is the packed-lane-layout limit (3k ≤ 128).
+
+    NOTE: callers evaluate this at TRACE time inside jitted functions —
+    flipping UPP_DISABLE_PALLAS_KNN / UPP_FORCE_PALLAS_KNN after a shape has
+    been traced has no effect until the jit cache is cleared.
+    """
+    return use_pallas_knn() and n >= 256 and k <= 42
 
 
 def knn_gather_reference(query, points, k):

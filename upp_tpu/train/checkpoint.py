@@ -20,9 +20,18 @@ from ..utils.logger import print_log
 from .state import TrainState
 
 # one in-flight async save per checkpoint path (joined before overwrite /
-# restore / interpreter exit)
-_PENDING: Dict[str, threading.Thread] = {}
+# restore / interpreter exit); each entry carries the writer thread plus a
+# one-slot error box so a failed background write surfaces on join instead of
+# dying silently with the thread
+_PENDING: Dict[str, Tuple[threading.Thread, list]] = {}
 _PENDING_LOCK = threading.Lock()
+
+
+def _join_writer(t: threading.Thread, err_box: list, path: str) -> None:
+    t.join()
+    if err_box:
+        raise RuntimeError(
+            f"async checkpoint write to {path} failed") from err_box[0]
 
 
 def _checkpointer():
@@ -35,12 +44,16 @@ def _to_numpy(tree):
 
 
 def wait_for_pending_saves() -> None:
-    """Block until every in-flight async checkpoint write has landed."""
+    """Block until every in-flight async checkpoint write has landed.
+
+    Re-raises the first background-write failure (disk full, orbax error) so
+    a run cannot finish while reporting checkpoints as saved that never were.
+    """
     with _PENDING_LOCK:
-        threads = list(_PENDING.values())
+        pending = dict(_PENDING)
         _PENDING.clear()
-    for t in threads:
-        t.join()
+    for path, (t, err_box) in pending.items():
+        _join_writer(t, err_box, path)
 
 
 def save_checkpoint(state: TrainState, epoch: int, prefix: str,
@@ -66,24 +79,32 @@ def save_checkpoint(state: TrainState, epoch: int, prefix: str,
             "metrics": {str(k): float(v)
                         for k, v in (metrics or {}).items()} or {"_": 0.0}}
 
+    err_box: list = []
+
     def write():
-        payload = {"params": _to_numpy(snap_params),
-                   "opt_leaves": [np.asarray(x) for x in snap_opt], **meta}
-        if snap_stats is not None:
-            payload["batch_stats"] = _to_numpy(snap_stats)
-        _checkpointer().save(path, payload, force=True)
+        try:
+            payload = {"params": _to_numpy(snap_params),
+                       "opt_leaves": [np.asarray(x) for x in snap_opt], **meta}
+            if snap_stats is not None:
+                payload["batch_stats"] = _to_numpy(snap_stats)
+            _checkpointer().save(path, payload, force=True)
+        except BaseException as e:  # surfaced on the next join of this path
+            err_box.append(e)
+            print_log(f"[CKPT] async save to {path} FAILED: {e!r}",
+                      logger=logger)
+            raise
 
     with _PENDING_LOCK:
         prev = _PENDING.pop(path, None)
     if prev is not None:
-        prev.join()   # never two writers on the same path
+        _join_writer(*prev, path)   # never two writers on the same path
     if block:
         write()
     else:
         t = threading.Thread(target=write, daemon=False)
         t.start()
         with _PENDING_LOCK:
-            _PENDING[path] = t
+            _PENDING[path] = (t, err_box)
     print_log(f"Save checkpoint at {path}", logger=logger)
 
 

@@ -9,15 +9,20 @@ Replaces the reference's ``tools/builder.py:37-89``:
   (``builder.py:66-75``) — stepped per epoch, reproduced here as a per-step
   schedule through ``steps_per_epoch``.
 * The PEFT freeze (``peft_detect`` substring matching, ``utils/misc.py:22-26``
-  + ``tools/runner_module.py:62-73``) becomes an ``optax.masked`` wrapper, so
-  frozen params receive no updates and no weight decay. The joint-optimization
-  switch at epoch N (``runner_module.py:230-244``) is a new mask + fresh
-  optimizer state built from the same params.
+  + ``tools/runner_module.py:62-73``). The reference builds torch AdamW over
+  ALL params (``runner_module.py:59`` — the freeze at :68-73 happens AFTER
+  build), then flips ``requires_grad`` in-place at the joint-optimization
+  switch (``runner_module.py:228-242``); torch skips grad-less params but
+  keeps their lazily-created per-param state, so Adam moments of params that
+  stay trainable SURVIVE the switch. That is reproduced here with a
+  mask-stable AdamW: moments + per-leaf lazy step counts over the full param
+  tree, frozen leaves statically zeroed — swapping the trainable mask reuses
+  the same optimizer state.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence
+from typing import Any, Iterable, List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -117,20 +122,107 @@ def build_schedule(opti_cfg, sche_cfg, steps_per_epoch: int):
     raise NotImplementedError(f"scheduler type {kind}")
 
 
+class MaskedAdamWState(NamedTuple):
+    """Full-tree AdamW state with torch-style lazily-started per-leaf steps.
+
+    ``count`` is a per-leaf scalar that only advances while the leaf is
+    trainable — exactly torch's lazy per-param ``state['step']``, so a param
+    unfrozen at the joint-optimization epoch gets fresh bias correction while
+    params that stayed trainable keep mature moments
+    (``tools/runner_module.py:228-242``). The structure is independent of the
+    trainable mask, so a mask swap reuses the state as-is."""
+    step: Any          # global step (drives the lr schedule)
+    count: Any         # per-leaf step counts
+    mu: Any
+    nu: Any
+
+
+def _zero_frozen(mask) -> optax.GradientTransformation:
+    """Statically zero gradients of frozen leaves (requires_grad analogue);
+    placed BEFORE grad clipping so frozen grads don't inflate the global
+    norm (torch's clip_grad_norm_ only sees requires_grad params)."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(grads, state, params=None):
+        del params
+        return (jax.tree_util.tree_map(
+            lambda m, g: g if m else jnp.zeros_like(g), mask, grads), state)
+
+    return optax.GradientTransformation(init, update)
+
+
+def masked_adamw(sched, weight_decay: float, decay_mask, train_mask,
+                 b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8
+                 ) -> optax.GradientTransformation:
+    """AdamW over the full param tree with a static trainable mask.
+
+    Matches torch AdamW (decoupled decay, denom = sqrt(nu_hat)+eps) on
+    trainable leaves and is a no-op on frozen ones: their moments and counts
+    stay untouched (not decayed), as torch leaves grad-less params unstepped.
+    """
+    def init(params):
+        z = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+        return MaskedAdamWState(
+            step=jnp.zeros((), jnp.int32),
+            count=jax.tree_util.tree_map(
+                lambda _: jnp.zeros((), jnp.int32), params),
+            mu=z(params), nu=z(params))
+
+    def update(grads, state, params):
+        lr = sched(state.step)
+
+        def leaf(m, dm, g, c, mu, nu, p):
+            if not m:                       # static: folded out by XLA
+                return c, mu, nu, jnp.zeros_like(p)
+            c1 = c + 1
+            mu1 = b1 * mu + (1.0 - b1) * g
+            nu1 = b2 * nu + (1.0 - b2) * (g * g)
+            cf = c1.astype(jnp.float32)
+            mu_hat = mu1 / (1.0 - b1 ** cf)
+            nu_hat = nu1 / (1.0 - b2 ** cf)
+            upd = mu_hat / (jnp.sqrt(nu_hat) + eps)
+            if dm:
+                upd = upd + weight_decay * p
+            return c1, mu1, nu1, -lr * upd
+
+        istup = lambda x: isinstance(x, tuple)
+        out = jax.tree_util.tree_map(leaf, train_mask, decay_mask, grads,
+                                     state.count, state.mu, state.nu, params)
+        pick = lambda i: jax.tree_util.tree_map(
+            lambda t: t[i], out, is_leaf=istup)
+        new_state = MaskedAdamWState(step=state.step + 1, count=pick(0),
+                                     mu=pick(1), nu=pick(2))
+        return pick(3), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(config, params, steps_per_epoch: int,
                     peft_list: Optional[Sequence[str]] = None):
     """(optax transform, schedule fn, trainable-mask pytree).
 
-    The chain is grad-clip → AdamW(decay-masked) → trainable-mask, mirroring
-    ``clip_grad_norm_(10)`` + grouped AdamW of the reference runner."""
+    The AdamW chain is zero-frozen-grads → grad-clip → masked AdamW, and its
+    state structure does NOT depend on the mask: the joint-optimization
+    switch rebuilds the transform with the new trainable set while KEEPING
+    the live opt_state, so Adam moments of params that stay trainable
+    survive — the reference's in-place requires_grad flip
+    (``runner_module.py:228-242``)."""
     opti_cfg, sche_cfg = config.optimizer, config.scheduler
     sched = build_schedule(opti_cfg, sche_cfg, steps_per_epoch)
     wd = float(opti_cfg.kwargs.get("weight_decay", 0.0))
+    mask = trainable_mask(params, peft_list)
+    clip = config.get("grad_norm_clip")
 
     if opti_cfg.type == "AdamW":
-        inner = optax.adamw(learning_rate=sched, weight_decay=wd,
-                            mask=weight_decay_mask(params))
-    elif opti_cfg.type == "Adam":
+        chain = [_zero_frozen(mask)]
+        if clip is not None:
+            chain.append(optax.clip_by_global_norm(float(clip)))
+        chain.append(masked_adamw(sched, wd, weight_decay_mask(params), mask))
+        return optax.chain(*chain), sched, mask
+
+    if opti_cfg.type == "Adam":
         inner = optax.adam(learning_rate=sched)
     elif opti_cfg.type == "SGD":
         inner = optax.sgd(learning_rate=sched, nesterov=True,
@@ -139,14 +231,12 @@ def build_optimizer(config, params, steps_per_epoch: int,
         raise NotImplementedError(f"optimizer type {opti_cfg.type}")
 
     chain = [inner]
-    clip = config.get("grad_norm_clip")
     if clip is not None:
         chain = [optax.clip_by_global_norm(float(clip))] + chain
-
-    mask = trainable_mask(params, peft_list)
-    # multi_transform (NOT optax.masked: masked passes unmasked updates
-    # through as raw gradients) — frozen params get exact zeros, like the
-    # reference's requires_grad_(False).
+    # Adam/SGD are only used unfrozen in the shipped configs (pretrain /
+    # finetune); multi_transform keeps frozen leaves at exact zero if a
+    # peft_list is ever passed. NOTE: unlike the AdamW path, a mask swap
+    # here needs a state re-init (no shipped config does one).
     labels = jax.tree_util.tree_map(
         lambda m: "trainable" if m else "frozen", mask)
     tx = optax.multi_transform(

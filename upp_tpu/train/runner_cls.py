@@ -243,30 +243,47 @@ def run_net(args, config, train_writer=None, val_writer=None):
         # LR is a per-epoch constant (per-epoch stepping, builder.py:66-75);
         # resolve it once on the host instead of a device call per batch
         lr_epoch = float(sched(epoch * steps_per_epoch))
-        # keep per-batch metrics as device arrays and fetch them once per
-        # epoch: a per-batch float() costs a full host<->device round trip
-        # (~24 ms on tunneled backends), serialising the dispatch pipeline
+        # keep per-batch metrics as device arrays and fetch with a bounded
+        # lag: a per-batch float() costs a full host<->device round trip
+        # (~24 ms on tunneled backends), serialising the dispatch pipeline,
+        # while a whole-epoch pending list hides divergence for an entire
+        # epoch of dispatched steps. A lag window keeps the pipeline full
+        # AND bounds NaN-detection latency to FETCH_LAG steps.
+        FETCH_LAG = 16
         pending = []
+
+        def drain(batch_idx, m):
+            m = jax.device_get(m)
+            loss_v, acc_v = float(m["loss"]), float(m["acc"])
+            if not np.isfinite(loss_v):
+                print_log(f"[DIVERGED] non-finite loss at epoch {epoch} "
+                          f"step {batch_idx}: {loss_v}", logger=logger)
+            losses.update([loss_v, acc_v])
+            if train_writer is not None:
+                n_itr = epoch * steps_per_epoch + batch_idx
+                train_writer.add_scalar("Loss/Batch/Loss", loss_v, n_itr)
+                train_writer.add_scalar("Loss/Batch/TrainAcc", acc_v, n_itr)
+                train_writer.add_scalar("Loss/Batch/LR", lr_epoch, n_itr)
+
         for batch_idx, (pts, label) in enumerate(train_loader):
             batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
             state, m = train_step(state, batch[0], batch[1], rng)
-            pending.append(m)
-        for batch_idx, m in enumerate(jax.device_get(pending)):
-            losses.update([float(m["loss"]), float(m["acc"])])
-            if train_writer is not None:
-                n_itr = epoch * steps_per_epoch + batch_idx
-                train_writer.add_scalar("Loss/Batch/Loss", float(m["loss"]), n_itr)
-                train_writer.add_scalar("Loss/Batch/TrainAcc", float(m["acc"]), n_itr)
-                train_writer.add_scalar("Loss/Batch/LR", lr_epoch, n_itr)
+            pending.append((batch_idx, m))
+            if len(pending) > FETCH_LAG:
+                drain(*pending.pop(0))
+        for item in pending:
+            drain(*item)
 
-        # joint optimization: unfreeze prompters (runner_module.py:230-244)
+        # joint optimization: unfreeze prompters (runner_module.py:228-242).
+        # The reference flips requires_grad in-place without touching the
+        # optimizer, so Adam moments of params that stay trainable survive;
+        # the AdamW chain's state structure is mask-independent, so we swap
+        # the transform and KEEP the live opt_state.
         if epoch == joint_epoch:
             print_log("[joint optimization] switching trainable set", logger=logger)
-            params_host = jax.device_get(state.params)
-            tx, sched, mask = build_optimizer(config, params_host,
+            tx, sched, mask = build_optimizer(config, variables["params"],
                                               steps_per_epoch,
                                               peft_list=JOINT_PEFT_LIST)
-            state = state.replace(opt_state=replicate(mesh, tx.init(params_host)))
             train_step = make_train_step(model, tx, config, args)
 
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %

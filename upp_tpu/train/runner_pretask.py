@@ -280,11 +280,14 @@ def run_net(args, config, train_writer=None, val_writer=None):
                    ["%.4f" % v for v in meters.avg()]), logger=logger)
 
         if epoch == STAGE2_EPOCH:
+            # reference flips requires_grad in-place (runner_pretask stage-2
+            # freeze): the AdamW chain's state is mask-independent, so keep
+            # the live opt_state — moments of params that stay trainable
+            # survive the switch (see runner_cls joint-opt note).
             print_log("[stage 2] freezing rectify set", logger=logger)
-            params_host = jax.device_get(state.params)
-            tx, sched, mask = build_optimizer(config, params_host, steps_per_epoch,
+            tx, sched, mask = build_optimizer(config, state.params,
+                                              steps_per_epoch,
                                               peft_list=PRETASK_STAGE2_LIST)
-            state = state.replace(opt_state=replicate(mesh, tx.init(params_host)))
             train_step = make_pretask_train_step(model, tx, config, args)
 
         if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:

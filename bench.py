@@ -1,14 +1,20 @@
-"""Benchmark: noisy-ModelNet40 PEFT training throughput (clouds/sec/chip).
+"""Benchmark: training-step throughput of all four task pipelines (clouds/s/chip).
 
-Runs the flagship Point_MAE_unify PEFT training step — the COMPLETE per-batch
-pipeline (viewpoint crop 8192→1024 → shell+lidar noise → scale/translate →
-rectify pass → completion pass → downstream pass → CE loss → masked AdamW
-update), i.e. exactly what one optimizer step of
-``main.py --peft_model --config cfgs/unify_modelnet_cls.yaml`` executes —
-on synthetic clouds at the shipped config's shapes (bs=120, N_POINTS=8192,
-npoints=1024), on the attached TPU chip.
+Headline metric (unchanged across rounds): the flagship Point_MAE_unify PEFT
+training step — the COMPLETE per-batch pipeline (viewpoint crop 8192→1024 →
+shell+lidar noise → scale/translate → rectify pass → completion pass →
+downstream pass → CE loss → masked AdamW update), i.e. exactly what one
+optimizer step of ``main.py --peft_model --config cfgs/unify_modelnet_cls.yaml``
+executes — on synthetic clouds at the shipped config's shapes (bs=120,
+N_POINTS=8192, npoints=1024), on the attached TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The JSON line's ``extras`` list adds the three other task steps at their
+shipped shapes so regressions anywhere are visible to the driver:
+  pretask  (cfgs/pretask.yaml              bs=64,  gt 8192, 3x CD-L1 loss)
+  seg      (cfgs/unify_shapenetpart_seg.yaml bs=30, 2048 pts, crop+noise)
+  pretrain (cfgs/pretrain.yaml             bs=128, MAE CD loss @1024)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 
 vs_baseline: the reference never measured throughput (SURVEY.md §6). The CUDA
 baseline is a DERIVED estimate of the reference step on a single A100-class
@@ -28,6 +34,7 @@ measured by ``bench_ref_cpu.py`` (reference code on CPU torch, 1 core):
 
 import json
 import os
+import sys
 import time
 import types
 
@@ -44,22 +51,47 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 CUDA_BASELINE_CLOUDS_PER_SEC = 180.0  # derived estimate, see module docstring
 
 
-def main():
+def _fetch(m):
+    """Force execution on tunneled backends (block_until_ready is unreliable
+    over axon; a value fetch is the only true barrier)."""
+    return float(jax.tree_util.tree_leaves(m)[0])
+
+
+def _time_pipelined(train_step, state, step_args, iters):
+    """(ms/step, final state): warmup×2 synced, then ``iters`` pipelined
+    dispatches chained through the donated state with ONE final fetch —
+    exactly how the runners' training loops drive the device."""
+    for _ in range(2):
+        state, m = train_step(state, *step_args)
+        _fetch(m)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = train_step(state, *step_args)
+    _fetch(m)
+    return (time.perf_counter() - t0) / iters * 1000.0, state
+
+
+def _make_state(mesh, variables, tx):
+    from upp_tpu.parallel.mesh import replicate
+    from upp_tpu.train.state import TrainState
+    return TrainState(params=replicate(mesh, variables["params"]),
+                      batch_stats=replicate(mesh, variables["batch_stats"]),
+                      opt_state=replicate(mesh, tx.init(variables["params"])),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def bench_flagship(mesh, n_devices):
     from upp_tpu.models import build_model_from_cfg
-    from upp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import shard_batch
     from upp_tpu.train.optim import build_optimizer
     from upp_tpu.train.runner_cls import PEFT_LIST, make_train_step
-    from upp_tpu.train.state import TrainState
     from upp_tpu.utils.config import cfg_from_yaml_file
-    from __graft_entry__ import _flagship_cfg
 
     config = cfg_from_yaml_file("cfgs/unify_modelnet_cls.yaml")
     args = types.SimpleNamespace(incomplete_cropping=True, noise=True,
                                  noise_type=("gaussian_noise", "lidar_noise"),
                                  normalize=False)
-
-    n_devices = len(jax.devices())
-    mesh = make_mesh()
     B = int(config.total_bs)           # 120, the shipped config's batch
     B = (B // n_devices) * n_devices or n_devices
     n_pts_ds = int(config.dataset.train._base_.N_POINTS)   # 8192
@@ -69,63 +101,192 @@ def main():
     model = build_model_from_cfg(config.model)
     rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2)}
-    from upp_tpu.models.build import jit_init
     variables = dict(jit_init(model, rngs, jnp.zeros((2, n_in, 3), jnp.float32),
                               completion_prompt=True, denoise=True,
                               point_num=npoints, deterministic=True))
     variables.setdefault("batch_stats", {})
     tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
                                peft_list=PEFT_LIST)
-    state = TrainState(params=replicate(mesh, variables["params"]),
-                       batch_stats=replicate(mesh, variables["batch_stats"]),
-                       opt_state=replicate(mesh, tx.init(variables["params"])),
-                       step=jnp.zeros((), jnp.int32))
+    state = _make_state(mesh, variables, tx)
     train_step = make_train_step(model, tx, config, args)
 
     rng = np.random.default_rng(0)
-    pts_host = rng.standard_normal((B, n_pts_ds, 3)).astype(np.float32)
-    label_host = rng.integers(0, 40, B).astype(np.int32)
-    pts = shard_batch(mesh, jnp.asarray(pts_host))
-    label = shard_batch(mesh, jnp.asarray(label_host))
-
-    # warmup / compile (value fetch forces full execution on tunneled backends)
+    pts = shard_batch(mesh, jnp.asarray(
+        rng.standard_normal((B, n_pts_ds, 3)).astype(np.float32)))
+    label = shard_batch(mesh, jnp.asarray(
+        rng.integers(0, 40, B).astype(np.int32)))
     key = jax.random.key(1)
-    state, m = train_step(state, pts, label, key)
-    float(m["loss"])
-    state, m = train_step(state, pts, label, key)
-    float(m["loss"])
 
-    import sys
     # per-step-synced timing (diagnostic: includes one ~24 ms tunnel round
     # trip per step because the loss is fetched every iteration)
+    state, m = train_step(state, pts, label, key)
+    _fetch(m)
     sync_ts = []
-    for i in range(5):
+    for _ in range(5):
         t1 = time.perf_counter()
         state, m = train_step(state, pts, label, key)
-        float(m["loss"])
+        _fetch(m)
         sync_ts.append(time.perf_counter() - t1)
-    print("synced per-call ms:", [f"{t*1000:.0f}" for t in sync_ts],
-          file=sys.stderr)
+    print("flagship synced per-call ms:",
+          [f"{t*1000:.0f}" for t in sync_ts], file=sys.stderr)
 
-    # headline: pipelined dispatch, exactly like the runners' training loops
-    # (runner_cls.py fetches metrics once per epoch) — steps chain through the
-    # donated state on-device; the per-step RNG stream is folded from
-    # state.step inside the jit, so the host issues nothing but dispatches
-    iters = 30
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, m = train_step(state, pts, label, key)
-    float(m["loss"])
-    dt = time.perf_counter() - t0
-    print(f"pipelined: {dt / iters * 1000:.1f} ms/step", file=sys.stderr)
+    ms, _ = _time_pipelined(train_step, state, (pts, label, key), iters=30)
+    print(f"flagship pipelined: {ms:.1f} ms/step", file=sys.stderr)
+    return B / (ms / 1000.0) / n_devices
 
-    clouds_per_sec = B * iters / dt
-    per_chip = clouds_per_sec / n_devices
+
+def bench_pretask(mesh, n_devices):
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_pretask import (PRETASK_PEFT_LIST,
+                                              make_pretask_train_step)
+    from upp_tpu.train.pipeline import GAUSSIAN_NOISE_NUMBER, LIDAR_NOISE_NUMBER
+    from upp_tpu.utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file("cfgs/pretask.yaml")
+    args = types.SimpleNamespace(noise=True,
+                                 noise_type=("gaussian_noise", "lidar_noise"),
+                                 deviation=0.1, noise_radius=0.8)
+    B = int(config.total_bs)                               # 64
+    B = (B // n_devices) * n_devices or n_devices
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)   # 8192
+    npoints = int(config.npoints)                          # 1024
+    n_in = npoints + GAUSSIAN_NOISE_NUMBER + LIDAR_NOISE_NUMBER
+
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(model, rngs,
+                              jnp.zeros((2, n_in, 3), jnp.float32),
+                              point_num=npoints, train_with_gaussian=True,
+                              deterministic=False))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
+                               peft_list=PRETASK_PEFT_LIST)
+    state = _make_state(mesh, variables, tx)
+    train_step = make_pretask_train_step(model, tx, config, args)
+
+    rng = np.random.default_rng(0)
+    gt = shard_batch(mesh, jnp.asarray(
+        rng.standard_normal((B, n_pts_ds, 3)).astype(np.float32)))
+    key = jax.random.key(1)
+    ms, _ = _time_pipelined(train_step, state, (gt, key), iters=20)
+    print(f"pretask pipelined: {ms:.1f} ms/step", file=sys.stderr)
+    return B / (ms / 1000.0) / n_devices
+
+
+def bench_seg(mesh, n_devices):
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_seg import (GAUSSIAN_NUM, LIDAR_NUM, NUM_CLASSES,
+                                          SEG_PEFT_LIST, make_seg_train_step)
+    from upp_tpu.utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file("cfgs/unify_shapenetpart_seg.yaml")
+    args = types.SimpleNamespace(deviation=0.1, noise_radius=0.8)
+    B = int(config.total_bs)                               # 30
+    B = (B // n_devices) * n_devices or n_devices
+    n_pts = int(config.dataset.train._base_.N_POINTS)      # 2048
+    noisy = bool(config.get("noisy_train", False))
+    p_in = (n_pts - int(n_pts * 0.25)) + GAUSSIAN_NUM + LIDAR_NUM \
+        if noisy else n_pts
+
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(
+        model, rngs, jnp.zeros((2, p_in, 3), jnp.float32),
+        jnp.zeros((2, NUM_CLASSES), jnp.float32),
+        jnp.zeros((2, n_pts, 3), jnp.float32),
+        completion_prompt=noisy, denoise=noisy,
+        point_num=n_pts - int(n_pts * 0.25), deterministic=True))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
+                               peft_list=SEG_PEFT_LIST)
+    state = _make_state(mesh, variables, tx)
+    train_step = make_seg_train_step(model, tx, config, args, unify=True)
+
+    rng = np.random.default_rng(0)
+    pts = shard_batch(mesh, jnp.asarray(
+        rng.standard_normal((B, n_pts, 3)).astype(np.float32)))
+    cls_label = shard_batch(mesh, jnp.asarray(
+        rng.integers(0, NUM_CLASSES, B).astype(np.int32)))
+    target = shard_batch(mesh, jnp.asarray(
+        rng.integers(0, 50, (B, n_pts)).astype(np.int32)))
+    key = jax.random.key(1)
+    ms, _ = _time_pipelined(train_step, state, (pts, cls_label, target, key),
+                            iters=20)
+    print(f"seg pipelined: {ms:.1f} ms/step", file=sys.stderr)
+    return B / (ms / 1000.0) / n_devices
+
+
+def bench_pretrain(mesh, n_devices):
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_pretrain import make_pretrain_step
+    from upp_tpu.utils.config import cfg_from_yaml_file
+
+    config = cfg_from_yaml_file("cfgs/pretrain.yaml")
+    B = int(config.total_bs)                               # 128
+    B = (B // n_devices) * n_devices or n_devices
+    n_pts_ds = int(config.dataset.train._base_.N_POINTS)   # 8192
+    npoints = int(config.npoints)                          # 1024
+
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(jit_init(model, rngs,
+                              jnp.zeros((2, npoints, 3), jnp.float32),
+                              deterministic=False))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"], steps_per_epoch=82,
+                               peft_list=None)
+    state = _make_state(mesh, variables, tx)
+    train_step = make_pretrain_step(model, tx, config)
+
+    rng = np.random.default_rng(0)
+    pts = shard_batch(mesh, jnp.asarray(
+        rng.standard_normal((B, n_pts_ds, 3)).astype(np.float32)))
+    key = jax.random.key(1)
+    ms, _ = _time_pipelined(train_step, state, (pts, key), iters=15)
+    print(f"pretrain pipelined: {ms:.1f} ms/step", file=sys.stderr)
+    return B / (ms / 1000.0) / n_devices
+
+
+def main():
+    from upp_tpu.parallel.mesh import make_mesh
+
+    n_devices = len(jax.devices())
+    mesh = make_mesh()
+
+    flagship = bench_flagship(mesh, n_devices)
+    extras = []
+    if not os.environ.get("UPP_BENCH_ONLY_FLAGSHIP"):
+        for name, fn in (("pretask", bench_pretask), ("seg", bench_seg),
+                         ("pretrain", bench_pretrain)):
+            try:
+                v = fn(mesh, n_devices)
+                extras.append({
+                    "metric": f"{name}_train_clouds_per_sec_per_chip",
+                    "value": round(v, 2), "unit": "clouds/s/chip"})
+            except Exception as e:   # an extra must never lose the headline
+                print(f"[bench] {name} extra failed: {e!r}", file=sys.stderr)
+                extras.append({
+                    "metric": f"{name}_train_clouds_per_sec_per_chip",
+                    "value": None, "unit": "clouds/s/chip"})
+
     print(json.dumps({
         "metric": "noisy_modelnet40_peft_train_clouds_per_sec_per_chip",
-        "value": round(per_chip, 2),
+        "value": round(flagship, 2),
         "unit": "clouds/s/chip",
-        "vs_baseline": round(per_chip / CUDA_BASELINE_CLOUDS_PER_SEC, 3),
+        "vs_baseline": round(flagship / CUDA_BASELINE_CLOUDS_PER_SEC, 3),
+        "extras": extras,
     }))
 
 
@@ -135,7 +296,6 @@ def _guarded_main():
     invocation, see ops/fps.py) cannot lose the JSON line: on a failed fast
     run, retry once with the Pallas FPS path disabled."""
     import subprocess
-    import sys
 
     for attempt_env in (None, {"UPP_DISABLE_PALLAS_FPS": "1"}):
         env = dict(os.environ, _UPP_BENCH_CHILD="1", **(attempt_env or {}))

@@ -64,3 +64,41 @@ def test_read_npy_batch_f64(tmp_path):
     np.save(p, arr)
     out = native.read_npy_batch([p], 50)
     np.testing.assert_allclose(out[0], arr.astype(np.float32), rtol=1e-6)
+
+
+def test_shapenet55_native_batch_path(tmp_path):
+    """ShapeNet55.get_batch (native parallel .npy reader) returns bit-identical
+    batches to the per-item __getitem__+collate path, and BatchLoader
+    actually routes through it."""
+    import numpy as np
+    from upp_tpu.data import BatchLoader
+    from upp_tpu.data.shapenet55 import ShapeNet55
+
+    rng = np.random.default_rng(0)
+    pc_dir = tmp_path / "pc"
+    pc_dir.mkdir()
+    lines = []
+    for i in range(7):
+        name = f"0{i % 3}tax-model{i}.npy"
+        np.save(pc_dir / name,
+                rng.standard_normal((64, 3)).astype(np.float32))
+        lines.append(name)
+    (tmp_path / "train.txt").write_text("\n".join(lines))
+
+    import types
+    cfg = types.SimpleNamespace(DATA_PATH=str(tmp_path), PC_PATH=str(pc_dir),
+                                subset="train", N_POINTS=64)
+    ds = ShapeNet55(cfg)
+
+    idx = np.arange(len(ds))
+    pts_b, lab_b = ds.get_batch(idx)
+    items = [ds[i] for i in idx]
+    pts_i = np.stack([it[2][0] for it in items]).astype(np.float32)
+    lab_i = np.asarray([it[2][1] for it in items], np.int32)
+    np.testing.assert_allclose(pts_b, pts_i, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(lab_b, lab_i)
+
+    loader = BatchLoader(ds, batch_size=4, prefetch=0)
+    got = list(loader)
+    assert len(got) == 2 and got[0][0].shape == (4, 64, 3)
+    np.testing.assert_allclose(got[0][0], pts_i[:4], rtol=1e-6, atol=1e-7)

@@ -165,3 +165,73 @@ def test_separate_handles_distance_ties():
                    for x in np.asarray(pts)[0][order[num_crop:]]}
     for x in np.asarray(partial)[0]:
         assert tuple(np.round(x, 6)) in partial_set
+
+
+def test_pointcloud_scale_translate_only_variants():
+    """PointcloudScale / PointcloudTranslate (data_transforms.py:97-123):
+    per-sample constant anisotropic factors within the documented bounds."""
+    from upp_tpu.ops import pointcloud_scale, pointcloud_translate
+    pts = _cloud(4, 256, 3)
+    s = np.asarray(pointcloud_scale(jax.random.key(0), pts))
+    ratio = s / np.asarray(pts)                      # [B, N, 3]
+    per_sample = ratio[:, :1, :]
+    np.testing.assert_allclose(ratio, np.broadcast_to(per_sample, ratio.shape),
+                               rtol=1e-5)           # constant within a sample
+    assert (per_sample >= 2.0 / 3.0 - 1e-6).all()
+    assert (per_sample <= 3.0 / 2.0 + 1e-6).all()
+
+    t = np.asarray(pointcloud_translate(jax.random.key(1), pts))
+    off = t - np.asarray(pts)
+    np.testing.assert_allclose(off, np.broadcast_to(off[:, :1, :], off.shape),
+                               atol=1e-6)
+    assert (np.abs(off) <= 0.2 + 1e-6).all()
+
+
+def test_random_input_dropout_replaces_with_first_point():
+    """PointcloudRandomInputDropout (data_transforms.py:125-140): dropped
+    points collapse onto the cloud's first point; everything else intact."""
+    from upp_tpu.ops import random_input_dropout
+    pts = _cloud(4, 512, 5)
+    out = np.asarray(random_input_dropout(jax.random.key(2), pts,
+                                          max_dropout_ratio=0.9))
+    src = np.asarray(pts)
+    for b in range(4):
+        first = src[b, 0]
+        moved = ~np.isclose(out[b], src[b]).all(axis=-1)
+        assert moved.any(), "with ratio up to 0.9 some point should drop"
+        np.testing.assert_allclose(out[b][moved],
+                                   np.broadcast_to(first, out[b][moved].shape))
+
+
+def test_random_horizontal_flip_semantics():
+    """RandomHorizontalFlip (data_transforms.py:142-160): each non-upright
+    axis is either untouched or reflected as coord_max - coord; the upright
+    axis never changes."""
+    from upp_tpu.ops import random_horizontal_flip
+    pts = _cloud(16, 128, 7)
+    out = np.asarray(random_horizontal_flip(jax.random.key(3), pts,
+                                            upright_axis="z"))
+    src = np.asarray(pts)
+    flipped_any = False
+    for b in range(16):
+        np.testing.assert_allclose(out[b, :, 2], src[b, :, 2])  # upright
+        for ax in (0, 1):
+            ident = np.allclose(out[b, :, ax], src[b, :, ax])
+            refl = np.allclose(out[b, :, ax],
+                               src[b, :, ax].max() - src[b, :, ax], atol=1e-6)
+            assert ident or refl
+            flipped_any = flipped_any or (refl and not ident)
+    assert flipped_any   # p_apply=.95, p_axis=.5 over 16 samples x 2 axes
+
+
+def test_augmentation_registry_dispatch():
+    """corrupt_batch resolves every AUGMENTATIONS name to a jittable op."""
+    from upp_tpu.train.pipeline import AUGMENTATIONS, corrupt_batch
+    pts = _cloud(2, 1024, 11)
+    for name in AUGMENTATIONS:
+        out = corrupt_batch(jax.random.key(4), pts, npoints=256,
+                            n_points_dataset=1024, noisy_train=False,
+                            incomplete_cropping=False, add_noise=False,
+                            augmentation=name)
+        assert out.shape == (2, 256, 3), name
+        assert np.isfinite(np.asarray(out)).all(), name

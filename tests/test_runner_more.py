@@ -40,14 +40,18 @@ def test_pretrain_runner_and_svm_probe(tmp_path):
         "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3, "weight_decay": 0.05}},
         "scheduler": {"type": "CosLR", "kwargs": {"epochs": 5, "initial_epochs": 0}},
         "dataset": {s: {"_base_": _ds(), "others": {"subset": "train" if s == "train" else "test", "bs": 8}}
-                    for s in ("train", "val", "test")},
+                    for s in ("train", "val", "test", "extra_train")},
         "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
                   "loss": "cdl2", "transformer_config": _transformer()},
         "npoints": 128, "total_bs": 8, "step_per_update": 1, "max_epoch": 1,
         "task": "pretrain", "data_augmentation": "scale-translate",
     })
+    config.dataset.extra_train.others.subset = "train"
     state = runner_pretrain.run_net(_args(tmp_path), config)
     assert state is not None
+    # extra_train is configured → run_net must run the SVM probe and track
+    # ckpt-best on probe accuracy (runner_pretrain.py:185-193 semantics)
+    assert os.path.exists(os.path.join(str(tmp_path), "ckpt-best"))
 
     # SVM linear probe over the pretrained encoder features
     from upp_tpu.models import build_model_from_cfg
@@ -56,6 +60,34 @@ def test_pretrain_runner_and_svm_probe(tmp_path):
     te = BatchLoader(build_dataset_from_cfg(_ds(size=16), {"subset": "test"}), 8)
     acc = runner_pretrain.svm_probe(model, state, tr, te, npoints=128)
     assert 0.0 <= acc <= 100.0
+
+
+def test_pretrain_warm_start_from_torch_ckpt(tmp_path):
+    """--start_ckpts loads weights through the torch shim before pretraining
+    (reference runner_pretrain.py:77-78 builder.load_model path)."""
+    import jax
+    import torch
+    from upp_tpu.train import runner_pretrain
+    from upp_tpu.train.torch_ckpt import _flatten
+
+    dim = _transformer()["trans_dim"]
+    pth = str(tmp_path / "warm.pth")
+    torch.save({"base_model": {
+        "mask_token": torch.full((1, 1, dim), 7.0)}}, pth)
+
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 0.0, "weight_decay": 0.0}},
+        "scheduler": {"type": "function", "kwargs": {}},
+        "dataset": {"train": {"_base_": _ds(), "others": {"subset": "train", "bs": 8}}},
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2", "transformer_config": _transformer()},
+        "npoints": 128, "total_bs": 8, "step_per_update": 1, "max_epoch": 0,
+        "task": "pretrain", "data_augmentation": "none",
+    })
+    args = _args(tmp_path, start_ckpts=pth)
+    state = runner_pretrain.run_net(args, config)
+    flat = _flatten(jax.device_get(state.params))
+    np.testing.assert_allclose(flat["mask_token"], 7.0)
 
 
 def test_cls_test_net_from_scratch(tmp_path):

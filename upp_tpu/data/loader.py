@@ -85,16 +85,27 @@ class BatchLoader:
         for _, batch in self._indexed_batches():
             yield batch
 
+    def _assemble(self, chunk):
+        """One collated batch; datasets exposing ``get_batch`` (e.g.
+        ShapeNet55's native parallel .npy reader) build it in one call,
+        otherwise per-item ``__getitem__`` + collate."""
+        get_batch = getattr(self.dataset, "get_batch", None)
+        if get_batch is not None:
+            batch = get_batch(chunk)
+            if batch is not None:
+                return batch
+        return self._collate([self.dataset[i] for i in chunk])
+
     def _indexed_batches(self):
         idx = self._indices()
         n_full = len(idx) // self.batch_size
         ends = n_full * self.batch_size
         for s in range(0, ends, self.batch_size):
             chunk = idx[s:s + self.batch_size]
-            yield chunk, self._collate([self.dataset[i] for i in chunk])
+            yield chunk, self._assemble(chunk)
         if not self.drop_last and ends < len(idx):
             chunk = idx[ends:]
-            yield chunk, self._collate([self.dataset[i] for i in chunk])
+            yield chunk, self._assemble(chunk)
 
     def iter_indexed(self):
         """Yield (global dataset indices [b], batch tuple). Shard padding

@@ -49,3 +49,22 @@ class ShapeNet55:
         data = pc_normalize(data)
         return (sample["taxonomy_id"], sample["model_id"],
                 (data, self.label_map[sample["taxonomy_id"]]))
+
+    def get_batch(self, indices):
+        """Collated (pts [b, N_POINTS, 3], labels [b]) via the native C++
+        parallel .npy reader (native/upp_native.cpp:upp_read_npy_batch) —
+        one threaded read per batch instead of b sequential ``IO.get`` calls.
+        BatchLoader prefers this over per-item assembly when present."""
+        samples = [self.file_list[int(i)] for i in indices]
+        paths = [os.path.join(self.pc_path, s["file_path"]) for s in samples]
+        if not all(p.endswith(".npy") for p in paths):
+            return None   # loader falls back to per-item __getitem__
+        from ..native import read_npy_batch
+        pts = read_npy_batch(paths, self.npoints)
+        # vectorised pc_normalize (identical per-cloud math)
+        pts = pts - pts.mean(axis=1, keepdims=True)
+        scale = np.sqrt((pts ** 2).sum(-1)).max(axis=1)[:, None, None]
+        pts = pts / scale
+        labels = np.asarray([self.label_map[s["taxonomy_id"]] for s in samples],
+                            np.int32)
+        return pts.astype(np.float32), labels

@@ -38,6 +38,52 @@ def torch_bias_init(key, shape, dtype=jnp.float32, fan_in: int = 1):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact running-statistics semantics.
+
+    flax's ``nn.BatchNorm`` folds the BIASED batch variance into the running
+    average; torch BatchNorm1d/2d uses the UNBIASED estimate (factor
+    n/(n-1)). The per-step difference is ~var/n but it compounds into
+    measurable eval drift over a training run — the long-horizon
+    training-equivalence test (tests/test_train_horizon.py) only tracks the
+    reference with this module. Variable names mirror ``nn.BatchNorm``
+    (params: scale/bias; batch_stats: mean/var) so checkpoints and the torch
+    ckpt shim are unaffected. Normalisation itself uses the biased variance,
+    like both frameworks.
+    """
+    use_running_average: bool = True
+    momentum: float = 0.9        # flax convention: decay of the OLD average
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            red = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.var(xf, axis=red)
+            n = 1
+            for d in red:
+                n *= x.shape[d]
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var
+                                * (n / max(n - 1, 1)))
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return y * scale + bias
+
+
 class DropPath(nn.Module):
     """Per-sample stochastic depth (timm DropPath)."""
     rate: float
@@ -139,22 +185,29 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, point_groups, use_running_average: bool = True):
         bs, g, n, _ = point_groups.shape
-        x = point_groups.reshape(bs * g, n, 3)
+        # pointwise chains run on a FLAT [BG*n, C] layout: plain 2-D matmuls.
+        # (A 3-D [960, 16, C] dot_general trips a TPU-backend conv-emitter
+        # cost-model CHECK at exactly the seg model's vis-grouping shape —
+        # jellyfish fusion_util TransformWindow abort; 2-D dots never take
+        # that path. BN statistics are unchanged: reduce over all-but-last.)
+        x = point_groups.reshape(bs * g * n, 3)
         # first_conv: 3 → 128 → BN → ReLU → 256
         x = nn.Dense(128, name="first_conv0")(x)
-        x = nn.BatchNorm(use_running_average=use_running_average,
+        x = TorchBatchNorm(use_running_average=use_running_average,
                          momentum=0.9, epsilon=1e-5, name="first_bn")(x)
         x = nn.relu(x)
-        x = nn.Dense(256, name="first_conv1")(x)                 # [BG, n, 256]
+        x = nn.Dense(256, name="first_conv1")(x)
+        x = x.reshape(bs * g, n, 256)
         g_max = jnp.max(x, axis=1, keepdims=True)                 # [BG, 1, 256]
         x = jnp.concatenate([jnp.broadcast_to(g_max, x.shape), x], axis=-1)
         # second_conv: 512 → 512 → BN → ReLU → C
+        x = x.reshape(bs * g * n, 512)
         x = nn.Dense(512, name="second_conv0")(x)
-        x = nn.BatchNorm(use_running_average=use_running_average,
+        x = TorchBatchNorm(use_running_average=use_running_average,
                          momentum=0.9, epsilon=1e-5, name="second_bn")(x)
         x = nn.relu(x)
         x = nn.Dense(self.encoder_channel, name="second_conv1")(x)
-        x = jnp.max(x, axis=1)                                    # [BG, C]
+        x = jnp.max(x.reshape(bs * g, n, self.encoder_channel), axis=1)
         return x.reshape(bs, g, self.encoder_channel)
 
 

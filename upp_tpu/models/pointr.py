@@ -26,7 +26,7 @@ from ..ops.geometry import index_points
 from ..ops.knn import knn
 from .build import MODELS
 from ..utils.config import to_config
-from .layers import DropPath, Mlp, Attention, trunc_normal_init
+from .layers import TorchBatchNorm, DropPath, Mlp, Attention, trunc_normal_init
 
 
 def edge_features(coor_q, x_q, coor_k, x_k, k: int = 16):
@@ -180,7 +180,7 @@ class ConvBNLeaky(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(self.hidden, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)
         x = nn.leaky_relu(x, 0.2)
         return nn.Dense(self.out, name="conv1")(x)
@@ -205,11 +205,11 @@ class Fold(nn.Module):
 
         def folding(name, inp):
             h = nn.Dense(self.hidden_dim, name=f"{name}_c0")(inp)
-            h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+            h = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                              epsilon=1e-5, name=f"{name}_bn0")(h)
             h = nn.relu(h)
             h = nn.Dense(self.hidden_dim // 2, name=f"{name}_c1")(h)
-            h = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+            h = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                              epsilon=1e-5, name=f"{name}_bn1")(h)
             h = nn.relu(h)
             return nn.Dense(3, name=f"{name}_c2")(h)

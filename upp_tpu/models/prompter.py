@@ -19,7 +19,7 @@ from flax import linen as nn
 from ..ops.group import group_points
 from ..ops.geometry import index_points
 from ..ops.propagate import inverse_distance_interp
-from .layers import kaiming_uniform_a5, positional_embedding
+from .layers import TorchBatchNorm, kaiming_uniform_a5, positional_embedding
 
 
 class PointNetSetAbstraction(nn.Module):
@@ -39,7 +39,7 @@ class PointNetSetAbstraction(nn.Module):
         for li, out_ch in enumerate(self.mlp):
             x = nn.Dense(out_ch, name=f"conv{li}")(x)
             B, G, S, C = x.shape
-            x = nn.BatchNorm(use_running_average=use_running_average,
+            x = TorchBatchNorm(use_running_average=use_running_average,
                              momentum=0.9, epsilon=1e-5,
                              name=f"bn{li}")(x.reshape(B, G * S, C)).reshape(B, G, S, C)
             x = nn.relu(x)
@@ -62,7 +62,7 @@ class PointNetFeaturePropagation(nn.Module):
              else jnp.concatenate([points1, interpolated], axis=-1))
         for li, out_ch in enumerate(self.mlp):
             x = nn.Dense(out_ch, name=f"conv{li}")(x)
-            x = nn.BatchNorm(use_running_average=use_running_average,
+            x = TorchBatchNorm(use_running_average=use_running_average,
                              momentum=0.9, epsilon=1e-5, name=f"bn{li}")(x)
             x = nn.relu(x)
         return x

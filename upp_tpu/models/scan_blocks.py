@@ -401,8 +401,12 @@ class ScannedEncoderStack(nn.Module):
         else:
             mean = jnp.mean(flat, axis=0)
             var = jnp.var(flat, axis=0)
+            # torch folds the UNBIASED variance into the running average
+            # (normalisation stays biased) — see layers.TorchBatchNorm
+            n = flat.shape[0]
             new_stats = (0.9 * sl["bnorm"]["mean"] + 0.1 * mean,
-                         0.9 * sl["bnorm"]["var"] + 0.1 * var)
+                         0.9 * sl["bnorm"]["var"] + 0.1 * var
+                         * (n / max(n - 1, 1)))
         y = (flat - mean) * jax.lax.rsqrt(var + 1e-5)
         y = y * sl["bnorm"]["scale"] + sl["bnorm"]["bias"]
         pooled = jnp.max(y.reshape(B, g2, k, C), axis=2)

@@ -32,7 +32,7 @@ from .blocks import PrompterConfig
 from .scan_blocks import ScannedDecoderStack, ScannedEncoderStack
 from .build import MODELS
 from ..utils.config import to_config
-from .layers import Encoder, PosEmbedMLP, TwoLayerHead, kaiming_uniform_a5, trunc_normal_init
+from .layers import TorchBatchNorm, Encoder, PosEmbedMLP, TwoLayerHead, kaiming_uniform_a5, trunc_normal_init
 from .prompter import RectifyPrompter
 
 
@@ -45,7 +45,7 @@ class ClsHead(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         for i in range(2):
             x = nn.Dense(256, kernel_init=kaiming_uniform_a5, name=f"lin{i}")(x)
-            x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+            x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(x)
             x = nn.relu(x)
             x = nn.Dropout(0.5)(x, deterministic=deterministic)
@@ -70,7 +70,11 @@ class _UnifyCore(nn.Module):
 
     @property
     def vis_num(self) -> int:
-        # visible groups after masking (Point_MAE_unify.py:404)
+        # visible groups after masking. NOTE the reference hardcodes the
+        # 64-group anchor (``Point_MAE_unify.py:404``: 64 - int(mask_ratio*64)
+        # independent of num_group); we generalise to num_group — identical
+        # for every shipped config (all use num_group=64), and usable when
+        # num_group differs (where the reference's coarse_pred would break).
         return self.num_group - int(self.mask_ratio * self.num_group)
 
     vis_short: int = 16

@@ -23,7 +23,7 @@ from .blocks import PrompterConfig
 from .scan_blocks import ScannedEncoderStack
 from .build import MODELS
 from ..utils.config import to_config
-from .layers import Encoder, PosEmbedMLP
+from .layers import TorchBatchNorm, Encoder, PosEmbedMLP
 from .prompter import PointNetFeaturePropagation
 from .unify import _UnifyCore
 
@@ -35,11 +35,11 @@ class LabelConv(nn.Module):
     @nn.compact
     def __call__(self, one_hot, deterministic: bool = True):
         x = nn.Dense(64, name="conv0")(one_hot)                 # [B, 64]
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.leaky_relu(x, 0.2)
         x = nn.Dense(128, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         return nn.leaky_relu(x, 0.2)                            # [B, 128]
 
@@ -51,12 +51,12 @@ class SegHead(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = nn.Dense(512, name="conv0")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5)(x, deterministic=deterministic)
         x = nn.Dense(256, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=deterministic, momentum=0.9,
+        x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.cls_dim, name="conv2")(x)

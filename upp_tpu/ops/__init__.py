@@ -7,4 +7,6 @@ from .chamfer import (nn_distance, chamfer_l1, chamfer_l2, chamfer_l2_split,
 from .emd import approx_match, match_cost, earth_mover_distance
 from .propagate import inverse_distance_interp, propagate
 from .corrupt import (gaussian_shell_noise, lidar_noise, separate_point_cloud,
-                      scale_translate, rotate_y, jitter, normalize_unit_sphere)
+                      scale_translate, rotate_y, jitter, normalize_unit_sphere,
+                      pointcloud_scale, pointcloud_translate,
+                      random_horizontal_flip, random_input_dropout)

@@ -54,9 +54,17 @@ def nn_distance(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     Returns (dist1 [B,N], idx1 [B,N], dist2 [B,M], idx2 [B,M]) where
     dist1[n] = min_m ||xyz1_n - xyz2_m||^2 etc. ``valid*`` masks exclude padded
     slots both as queries (their dist contributes 0) and as targets.
-    Differentiable in xyz1/xyz2 through the matched pairs."""
-    idx1 = jax.lax.stop_gradient(_nn_idx(xyz1, xyz2, valid2))
-    idx2 = jax.lax.stop_gradient(_nn_idx(xyz2, xyz1, valid1))
+    Differentiable in xyz1/xyz2 through the matched pairs.
+
+    On TPU backends the argmin pair comes from the fused Pallas kernel
+    (ops/chamfer_pallas.py — one VMEM pass reduces each distance tile along
+    both axes); UPP_DISABLE_PALLAS_CHAMFER=1 forces this chunked-XLA path."""
+    from .chamfer_pallas import nn_both, should_dispatch
+    if should_dispatch(xyz1.shape[1], xyz2.shape[1]):
+        _, idx1, _, idx2 = nn_both(xyz1, xyz2, valid1, valid2)
+    else:
+        idx1 = jax.lax.stop_gradient(_nn_idx(xyz1, xyz2, valid2))
+        idx2 = jax.lax.stop_gradient(_nn_idx(xyz2, xyz1, valid1))
     nn1 = jnp.take_along_axis(xyz2, idx1[..., None], axis=1)
     nn2 = jnp.take_along_axis(xyz1, idx2[..., None], axis=1)
     dist1 = jnp.sum((xyz1 - nn1) ** 2, axis=-1)

@@ -192,6 +192,60 @@ def jitter(key: jax.Array, pc: jnp.ndarray, std: float = 0.01,
     return pc + noise
 
 
+def pointcloud_scale(key: jax.Array, pc: jnp.ndarray,
+                     scale_low: float = 2.0 / 3.0,
+                     scale_high: float = 3.0 / 2.0) -> jnp.ndarray:
+    """Per-sample anisotropic scale only
+    (``datasets/data_transforms.py:97-109`` PointcloudScale)."""
+    B = pc.shape[0]
+    s = jax.random.uniform(key, (B, 1, 3), jnp.float32, scale_low, scale_high)
+    return pc * s
+
+
+def pointcloud_translate(key: jax.Array, pc: jnp.ndarray,
+                         translate_range: float = 0.2) -> jnp.ndarray:
+    """Per-sample translate only
+    (``datasets/data_transforms.py:111-123`` PointcloudTranslate)."""
+    B = pc.shape[0]
+    t = jax.random.uniform(key, (B, 1, 3), jnp.float32,
+                           -translate_range, translate_range)
+    return pc + t
+
+
+def random_input_dropout(key: jax.Array, pc: jnp.ndarray,
+                         max_dropout_ratio: float = 0.5) -> jnp.ndarray:
+    """Random input dropout (``datasets/data_transforms.py:125-140``
+    PointcloudRandomInputDropout): per sample, ratio ~ U(0, max); each point
+    is dropped with prob ratio by being overwritten with the cloud's FIRST
+    point (static shapes preserved — dropped points collapse onto a
+    duplicate, exactly the reference's replacement rule)."""
+    B, N, _ = pc.shape
+    k1, k2 = jax.random.split(key)
+    ratio = jax.random.uniform(k1, (B, 1), jnp.float32) * max_dropout_ratio
+    drop = jax.random.uniform(k2, (B, N), jnp.float32) <= ratio
+    return jnp.where(drop[..., None], pc[:, :1, :], pc)
+
+
+def random_horizontal_flip(key: jax.Array, pc: jnp.ndarray,
+                           upright_axis: str = "z",
+                           p_apply: float = 0.95,
+                           p_axis: float = 0.5) -> jnp.ndarray:
+    """Random horizontal flip (``datasets/data_transforms.py:142-160``
+    RandomHorizontalFlip): with prob ``p_apply`` per sample, each
+    non-upright axis independently flips with prob ``p_axis`` as
+    ``coord_max - coord`` (the reference's max-reflection, not a sign flip).
+    """
+    up = {"x": 0, "y": 1, "z": 2}[upright_axis.lower()]
+    B = pc.shape[0]
+    k1, k2 = jax.random.split(key)
+    apply = jax.random.uniform(k1, (B, 1), jnp.float32) < p_apply
+    axis_flip = jax.random.uniform(k2, (B, 3), jnp.float32) < p_axis
+    do = apply & axis_flip
+    do = do.at[:, up].set(False)                    # never flip the upright axis
+    cmax = jnp.max(pc, axis=1, keepdims=True)       # [B, 1, 3]
+    return jnp.where(do[:, None, :], cmax - pc, pc)
+
+
 def normalize_unit_sphere(pc: jnp.ndarray, recenter: bool = False) -> jnp.ndarray:
     """Scale each cloud into the unit sphere
     (``datasets/data_transforms.py:163-182``; the shipped default keeps the

@@ -17,10 +17,25 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..ops.corrupt import (gaussian_shell_noise, lidar_noise,
-                           normalize_unit_sphere, rotate_y, scale_translate,
+from ..ops.corrupt import (gaussian_shell_noise, jitter, lidar_noise,
+                           normalize_unit_sphere, pointcloud_scale,
+                           pointcloud_translate, random_horizontal_flip,
+                           random_input_dropout, rotate_y, scale_translate,
                            separate_point_cloud)
 from ..ops.fps import fps
+
+# augmentation-name → jittable op, the reference's transform-registry surface
+# (datasets/data_transforms.py); 'rotate'/'scale-translate' are what shipped
+# configs use, the rest are selectable by the same config key
+AUGMENTATIONS = {
+    "rotate": rotate_y,
+    "scale-translate": scale_translate,
+    "scale": pointcloud_scale,
+    "translate": pointcloud_translate,
+    "jitter": jitter,
+    "dropout": random_input_dropout,
+    "hflip": random_horizontal_flip,
+}
 
 GAUSSIAN_NOISE_NUMBER = 24
 LIDAR_NOISE_NUMBER = 48
@@ -76,8 +91,7 @@ def corrupt_batch(rng: jax.Array, pts: jnp.ndarray, *, npoints: int,
                                          loc=0.0, scale=0.1, shell_radius=0.9)
             points = jnp.concatenate([points, noise], axis=1)
 
-    if augmentation == "rotate":
-        points = rotate_y(k_aug, points)
-    elif augmentation == "scale-translate":
-        points = scale_translate(k_aug, points)
+    aug_fn = AUGMENTATIONS.get(augmentation) if augmentation else None
+    if aug_fn is not None:
+        points = aug_fn(k_aug, points)
     return points

@@ -147,10 +147,19 @@ def make_eval_step(model, config, args):
 def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     preds, labels, idxs = [], [], []
     variables = state.variables
+    # multi-process: each host evaluates its loader shard on its OWN devices
+    # (a global-mesh device_put of process-local data is not addressable);
+    # the per-sample results are gathered across hosts below.
+    if jax.process_count() > 1:
+        local = jax.local_devices()
+        place_mesh = make_mesh(local) if len(local) > 1 else None
+    else:
+        place_mesh = mesh
     it = loader.iter_indexed() if hasattr(loader, "iter_indexed") else (
         (None, b) for b in loader)
     for idx, (pts, label) in it:
-        pts_d = shard_batch(mesh, jnp.asarray(pts)) if pts.shape[0] % mesh.size == 0 \
+        pts_d = shard_batch(place_mesh, jnp.asarray(pts)) \
+            if place_mesh is not None and pts.shape[0] % place_mesh.size == 0 \
             else jnp.asarray(pts)
         # keep predictions on device until the end of the sweep: a per-batch
         # fetch costs a full host<->device round trip on tunneled backends

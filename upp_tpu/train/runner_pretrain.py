@@ -87,12 +87,26 @@ def svm_probe(model, state, train_loader, val_loader, npoints: int,
 def run_net(args, config, train_writer=None, val_writer=None):
     logger = get_logger(getattr(args, "log_name", "upp_tpu"))
     mesh = make_mesh()
+    n_proc, pid = jax.process_count(), jax.process_index()
     train_ds = build_dataset_from_cfg(config.dataset.train._base_,
                                       config.dataset.train.others)
     bs = int(config.dataset.train.others.bs)
     train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
-                               seed=args.seed, num_shards=jax.process_count(),
-                               shard_index=jax.process_index())
+                               seed=args.seed, num_shards=n_proc,
+                               shard_index=pid)
+    # SVM-probe loaders (runner_pretrain.py:58-60): ``extra_train`` provides
+    # the probe's training features, ``val`` the held-out features. Probing
+    # is gated on the extra_train split being configured, like the reference.
+    val_loader = extra_loader = None
+    if config.dataset.get("extra_train") and config.dataset.get("val"):
+        extra_ds = build_dataset_from_cfg(config.dataset.extra_train._base_,
+                                          config.dataset.extra_train.others)
+        val_ds = build_dataset_from_cfg(config.dataset.val._base_,
+                                        config.dataset.val.others)
+        extra_loader = BatchLoader(extra_ds, bs, shuffle=False,
+                                   num_shards=n_proc, shard_index=pid)
+        val_loader = BatchLoader(val_ds, bs, shuffle=False,
+                                 num_shards=n_proc, shard_index=pid)
 
     model = build_model_from_cfg(config.model)
     npoints = int(config.npoints)
@@ -103,6 +117,17 @@ def run_net(args, config, train_writer=None, val_writer=None):
     variables = dict(jit_init(model, rngs, example, deterministic=False))
     variables.setdefault("batch_stats", {})
 
+    # warm start (runner_pretrain.py:74-78): --resume wins; otherwise
+    # --start_ckpts (or --ckpts) loads weights through the torch shim
+    warm = getattr(args, "start_ckpts", None) or getattr(args, "ckpts", None)
+    if not getattr(args, "resume", False) and warm:
+        from .torch_ckpt import load_into_variables, load_torch_state_dict
+        variables, missing, unexpected = load_into_variables(
+            variables, load_torch_state_dict(warm), logger=logger)
+        print_log(f"[WARM START] loaded {warm} "
+                  f"(missing={len(missing)}, unexpected={len(unexpected)})",
+                  logger=logger)
+
     steps_per_epoch = max(len(train_loader), 1)
     tx, sched, mask = build_optimizer(config, variables["params"],
                                       steps_per_epoch, peft_list=None)
@@ -111,12 +136,15 @@ def run_net(args, config, train_writer=None, val_writer=None):
                        opt_state=replicate(mesh, tx.init(variables["params"])),
                        step=jnp.zeros((), jnp.int32))
     start_epoch = 0
+    best = AccMetric(0.0)
     if getattr(args, "resume", False):
-        state, start_epoch, _ = ckpt_io.resume_checkpoint(
+        state, start_epoch, saved = ckpt_io.resume_checkpoint(
             state, args.experiment_path, logger=logger)
+        best = AccMetric(saved.get("acc", 0.0))
 
     train_step = make_pretrain_step(model, tx, config)
     rng = jax.random.key(args.seed + 777)
+    val_freq = max(int(getattr(args, "val_freq", 1) or 1), 1)
 
     for epoch in range(start_epoch, int(config.max_epoch) + 1):
         train_loader.set_epoch(epoch)
@@ -131,7 +159,27 @@ def run_net(args, config, train_writer=None, val_writer=None):
             meters.update([float(m["loss"]) * 1000])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) LossX1000 = %.4f" %
                   (epoch, time.time() - t0, meters.avg(0)), logger=logger)
+
+        if (extra_loader is not None and epoch % val_freq == 0 and epoch != 0):
+            acc = svm_probe(model, state, extra_loader, val_loader, npoints,
+                            logger=logger)
+            print_log("[Validation] EPOCH: %d  acc = %.4f" % (epoch, acc),
+                      logger=logger)
+            if val_writer is not None:
+                val_writer.add_scalar("Metric/ACC", acc, epoch)
+            metrics = AccMetric(acc)
+            if metrics.better_than(best):
+                best = metrics
+                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                                        args.experiment_path,
+                                        metrics=best.state_dict(),
+                                        logger=logger)
+
         ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
-                                logger=logger)
+                                metrics=best.state_dict(), logger=logger)
+        # periodic snapshots late in the run (runner_pretrain.py:192-194)
+        if epoch % 25 == 0 and epoch >= 250:
+            ckpt_io.save_checkpoint(state, epoch, f"ckpt-epoch-{epoch:03d}",
+                                    args.experiment_path, logger=logger)
     ckpt_io.wait_for_pending_saves()
     return state

@@ -82,6 +82,10 @@ def _export(tmp_path, tm) -> str:
 def unify_pair(tmp_path_factory):
     """(torch model, flax model, flax variables) with identical weights."""
     ns = load_reference_models()
+    # torch default init draws from the GLOBAL RNG (entropy-seeded): pin it so
+    # the weight draw — and hence the f32 parity error margin — is identical
+    # standalone and mid-suite (the 3-pass test sits closest to tolerance).
+    torch.manual_seed(0)
     tm = ns["unify"]["Point_MAE_unify"](RefCfg(FLAGSHIP)).eval()
     _randomize_weights(tm, seed=7)
     path = _export(tmp_path_factory.mktemp("pth"), tm)
@@ -143,6 +147,7 @@ def test_pretask_eval_parity(tmp_path):
     propagated mask tokens → decoder → dense rebuild."""
     cfg_dict = dict(FLAGSHIP, NAME="Point_MAE_pretask_dev")
     ns = load_reference_models()
+    torch.manual_seed(0)  # pin global-RNG default init (see unify_pair)
     tm = ns["dev"]["Point_MAE_pretask_dev"](RefCfg(cfg_dict)).eval()
     _randomize_weights(tm, seed=11)
     path = _export(tmp_path, tm)

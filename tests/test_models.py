@@ -235,3 +235,53 @@ def test_pretask_legacy_model():
     pc, rb = model.apply(variables, pts, point_num=point_num,
                          train_with_gaussian=False, deterministic=True)
     assert rb.shape[-1] == 3
+
+
+def test_torch_batchnorm_running_stats_semantics():
+    """layers.TorchBatchNorm must track torch BatchNorm1d exactly over a
+    sequence of train-mode steps: torch folds the UNBIASED batch variance
+    into the running average (factor n/(n-1)); normalisation uses the biased
+    one. flax's nn.BatchNorm gets this wrong (biased running update)."""
+    import torch as _torch
+    import numpy as _np
+    from upp_tpu.models.layers import TorchBatchNorm
+
+    C, steps = 6, 5
+    rng = _np.random.default_rng(0)
+    tbn = _torch.nn.BatchNorm1d(C, momentum=0.1, eps=1e-5)
+    with _torch.no_grad():
+        tbn.weight.copy_(_torch.from_numpy(
+            rng.uniform(0.5, 1.5, C).astype(_np.float32)))
+        tbn.bias.copy_(_torch.from_numpy(
+            rng.uniform(-0.5, 0.5, C).astype(_np.float32)))
+
+    fbn = TorchBatchNorm(use_running_average=False, momentum=0.9)
+    variables = fbn.init(jax.random.key(0), jnp.zeros((4, C)))
+    variables = dict(variables)
+    variables["params"] = {
+        "scale": jnp.asarray(tbn.weight.detach().numpy()),
+        "bias": jnp.asarray(tbn.bias.detach().numpy())}
+    stats = variables["batch_stats"]
+
+    tbn.train()
+    for s in range(steps):
+        x = rng.standard_normal((16, C)).astype(_np.float32) * (s + 1)
+        with _torch.no_grad():
+            t_y = tbn(_torch.from_numpy(x)).numpy()
+        f_y, mut = fbn.apply({"params": variables["params"],
+                              "batch_stats": stats},
+                             jnp.asarray(x), mutable=["batch_stats"])
+        stats = mut["batch_stats"]
+        np.testing.assert_allclose(np.asarray(f_y), t_y, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+    # eval mode consumes the accumulated running stats identically
+    tbn.eval()
+    x = rng.standard_normal((8, C)).astype(_np.float32)
+    with _torch.no_grad():
+        t_y = tbn(_torch.from_numpy(x)).numpy()
+    f_y = TorchBatchNorm(use_running_average=True).apply(
+        {"params": variables["params"], "batch_stats": stats}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(f_y), t_y, rtol=1e-5, atol=1e-5)

@@ -70,7 +70,9 @@ class TorchBatchNorm(nn.Module):
             red = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=red)
-            var = jnp.var(xf, axis=red)
+            # one-pass E[x²]−E[x]² (flax BatchNorm's form): jnp.var is
+            # two-pass and costs a second HBM read of the activations
+            var = jnp.maximum(jnp.mean(xf * xf, axis=red) - mean * mean, 0.0)
             n = 1
             for d in red:
                 n *= x.shape[d]

@@ -93,9 +93,11 @@ class ScannedEncoderStack(nn.Module):
     # LayerNorm/softmax/residual math stays f32.
     compute_dtype: Any = jnp.float32
     # rematerialize each block in the backward pass (saves only the carry
-    # per scan iteration instead of every intermediate; measured 64.0 ->
-    # 61.3 ms/step on v5e with bit-identical losses, so the caller defaults
-    # it ON — cfg knob `remat_blocks: False` restores residual-saving)
+    # per scan iteration instead of every intermediate). Helped in round 2
+    # (64.0 -> 61.3 ms/step) but HURTS after the flat-2D encoder + one-pass
+    # BN reworks (54.9 remat vs 53.1 residual-saving on v5e, bs 120), so the
+    # callers now default it OFF — cfg knob `remat_blocks: True` re-enables
+    # it for memory-constrained (larger-batch) runs.
     remat: bool = False
 
     def setup(self):
@@ -400,7 +402,8 @@ class ScannedEncoderStack(nn.Module):
             new_stats = None
         else:
             mean = jnp.mean(flat, axis=0)
-            var = jnp.var(flat, axis=0)
+            # one-pass E[x²]−E[x]² (jnp.var re-reads the activations)
+            var = jnp.maximum(jnp.mean(flat * flat, axis=0) - mean * mean, 0.0)
             # torch folds the UNBIASED variance into the running average
             # (normalisation stays biased) — see layers.TorchBatchNorm
             n = flat.shape[0]

@@ -176,7 +176,7 @@ class PointMAEUnify(nn.Module):
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", True)))
+            remat=bool(cfg.get("remat_blocks", False)))
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, tc.trans_dim))
         self.cls_pos = self.param("cls_pos", trunc_normal_init,
@@ -250,7 +250,7 @@ class PointMAEPretask(nn.Module):
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", True)))
+            remat=bool(cfg.get("remat_blocks", False)))
 
     def __call__(self, pts, *, point_num: int = 2048,
                  train_with_gaussian: bool = True, deterministic: bool = True):

@@ -92,7 +92,7 @@ class PointMAEUnifySeg(nn.Module):
             group_size=cfg.group_size, num_group=64, mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", True)))
+            remat=bool(cfg.get("remat_blocks", False)))
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.label_conv = LabelConv()

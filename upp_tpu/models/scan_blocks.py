@@ -24,6 +24,7 @@ torch checkpoint shim writes per-block tensors into stack rows.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -235,7 +236,7 @@ class ScannedEncoderStack(nn.Module):
             # dynamic-slice overhead (58.2 -> 54.8 ms/step on v5e) and, on
             # this toolchain, also compiles FASTER than the rolled scan
             x, (ys, stats) = jax.lax.scan(body, x, xs,
-                                          unroll=min(4, int(n)))
+                                          unroll=int(os.environ.get("UPP_SCAN_UNROLL") or min(4, int(n))))
             if use_prop and stats is not None:
                 stats_updates.append((lo, hi, stats))
             if collect_taps:

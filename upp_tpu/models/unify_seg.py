@@ -44,13 +44,41 @@ class LabelConv(nn.Module):
         return nn.leaky_relu(x, 0.2)                            # [B, 128]
 
 
-class SegHead(nn.Module):
-    """Pointwise seg head (``Point_MAE_unify_segment.py:424-433``)."""
-    cls_dim: int
+class _SplitDense(nn.Module):
+    """Dense over the concat [per-point ‖ per-cloud] features WITHOUT
+    materialising the concat: the reference repeats its global feature over
+    all N points before the first seg-head conv
+    (``Point_MAE_unify_segment.py:597-613``), a [B, N, 2432] tensor that is
+    CONSTANT along N — ~600 MB of redundant HBM traffic per fwd at the
+    shipped shapes. Splitting the kernel rows gives
+    ``x @ W = f0 @ W[:1024] + glob @ W[1024:]`` with the global term computed
+    once per cloud and broadcast. Parameter names/shapes are identical to the
+    fused Dense (kernel [in_pp+in_glob, out], bias [out]) so torch
+    checkpoints load unchanged."""
+    features: int
+    in_pp: int          # per-point channel count (f0)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(512, name="conv0")(x)
+    def __call__(self, f0, glob_row):
+        in_glob = glob_row.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_pp + in_glob, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        per_point = f0 @ kernel[:self.in_pp]                    # [B, N, out]
+        per_cloud = glob_row @ kernel[self.in_pp:] + bias       # [B, out]
+        return per_point + per_cloud[:, None, :]
+
+
+class SegHead(nn.Module):
+    """Pointwise seg head (``Point_MAE_unify_segment.py:424-433``). Takes the
+    per-point features and the per-cloud global row separately (see
+    ``_SplitDense``)."""
+    cls_dim: int
+    in_pp: int = 1024
+
+    @nn.compact
+    def __call__(self, f0, glob_row, deterministic: bool = True):
+        x = _SplitDense(512, self.in_pp, name="conv0")(f0, glob_row)
         x = TorchBatchNorm(use_running_average=deterministic, momentum=0.9,
                          epsilon=1e-5, name="bn0")(x)
         x = nn.relu(x)
@@ -63,15 +91,15 @@ class SegHead(nn.Module):
         return jax.nn.log_softmax(x, axis=-1)                   # [B, N, cls]
 
 
-def _seg_features(x_taps, label_emb, n_points):
-    """Concat taps → global max/avg + label embedding, broadcast to N
-    (``Point_MAE_unify_segment.py:596-606``)."""
+def _seg_features(x_taps, label_emb):
+    """Concat taps → global max/avg + label embedding row [B, 2432]
+    (``Point_MAE_unify_segment.py:596-606``; broadcast over N happens inside
+    ``_SplitDense``)."""
     x = jnp.concatenate(x_taps, axis=-1)                        # [B, G, 1152]
-    B = x.shape[0]
     x_max = jnp.max(x, axis=1)
     x_avg = jnp.mean(x, axis=1)
     glob = jnp.concatenate([x_max, x_avg, label_emb], axis=-1)  # [B, 2432]
-    return x, jnp.broadcast_to(glob[:, None, :], (B, n_points, glob.shape[-1]))
+    return x, glob
 
 
 @MODELS.register_module("Point_MAE_unify_seg")
@@ -143,11 +171,10 @@ class PointMAEUnifySeg(nn.Module):
                               deterministic=deterministic,
                               feature_blocks=(3, 7, 11))
         label_emb = self.label_conv(cls_label, deterministic=deterministic)
-        x, glob = _seg_features(taps, label_emb, N)
+        x, glob = _seg_features(taps, label_emb)
         f0 = self.propagation_0(query, g.center, query, x,
                                 use_running_average=deterministic)  # [B,N,1024]
-        feats = jnp.concatenate([f0, glob], axis=-1)                 # [B,N,3456]
-        return self.seg_head(feats, deterministic=deterministic)
+        return self.seg_head(f0, glob, deterministic=deterministic)
 
 
 @MODELS.register_module("PointTransformer_seg")
@@ -181,8 +208,7 @@ class PointTransformerSeg(nn.Module):
                               deterministic=deterministic,
                               feature_blocks=(3, 7, 11))
         label_emb = self.label_conv(cls_label, deterministic=deterministic)
-        x, glob = _seg_features(taps, label_emb, N)
+        x, glob = _seg_features(taps, label_emb)
         f0 = self.propagation_0(query, g.center, query, x,
                                 use_running_average=deterministic)
-        feats = jnp.concatenate([f0, glob], axis=-1)
-        return self.seg_head(feats, deterministic=deterministic)
+        return self.seg_head(f0, glob, deterministic=deterministic)

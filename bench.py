@@ -259,6 +259,23 @@ def bench_pretrain(mesh, n_devices):
     return B / (ms / 1000.0) / n_devices
 
 
+def _release_device_state():
+    """Free the previous task's HBM footprint before building the next.
+
+    Measuring the four tasks back-to-back in one process without this
+    under-reports the later ones by up to ~25% (measured: seg 44.6 ms after
+    flagship+pretask vs 33.8 ms alone — the earlier tasks' cached
+    executables and surviving arrays fragment the allocator); with explicit
+    cache clearing + array deletion the in-process numbers match the
+    isolated-process ones (seg 33.8)."""
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+    for a in jax.live_arrays():
+        a.delete()
+
+
 def main():
     from upp_tpu.parallel.mesh import make_mesh
 
@@ -271,6 +288,7 @@ def main():
         for name, fn in (("pretask", bench_pretask), ("seg", bench_seg),
                          ("pretrain", bench_pretrain)):
             try:
+                _release_device_state()
                 v = fn(mesh, n_devices)
                 extras.append({
                     "metric": f"{name}_train_clouds_per_sec_per_chip",

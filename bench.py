@@ -47,9 +47,9 @@ import numpy as np
 
 # persistent compile cache: the flagship train step is a large HLO (~5 min
 # first compile); cache it across runs.
-os.makedirs("/tmp/upp_jax_cache", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/upp_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+from upp_tpu.utils.jax_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 
 CUDA_BASELINE_CLOUDS_PER_SEC = 180.0  # derived estimate, see module docstring
 

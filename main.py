@@ -12,24 +12,6 @@ Dispatch mirrors ``/root/reference/main.py:75-103``: config.task ×
 import os
 
 
-def _enable_compile_cache():
-    """Persistent XLA compile cache: the flagship train step is a large HLO
-    (minutes of cold compile); caching it across CLI invocations makes every
-    run after the first start in seconds. Opt out with UPP_NO_COMPILE_CACHE=1
-    or override the location with JAX_COMPILATION_CACHE_DIR."""
-    if os.environ.get("UPP_NO_COMPILE_CACHE"):
-        return
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/upp_jax_cache")
-    import jax
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except (OSError, AttributeError):
-        pass  # unwritable dir / older jax: run without the cache
-
-
 def main():
     from upp_tpu.utils.parser import get_args
     from upp_tpu.utils.config import get_config, log_args_to_file, log_config_to_file
@@ -41,7 +23,8 @@ def main():
         name=args.log_name)
     config = get_config(args, logger=logger)
 
-    _enable_compile_cache()
+    from upp_tpu.utils.jax_cache import enable_compile_cache
+    enable_compile_cache()
 
     # per-split batch sizes from total_bs (main.py:46-60); JAX shards over
     # devices inside the step, so the host batch stays total_bs per process.

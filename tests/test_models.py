@@ -285,3 +285,17 @@ def test_torch_batchnorm_running_stats_semantics():
     f_y = TorchBatchNorm(use_running_average=True).apply(
         {"params": variables["params"], "batch_stats": stats}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(f_y), t_y, rtol=1e-5, atol=1e-5)
+
+
+def test_scan_unroll_env_guard(monkeypatch):
+    """UPP_SCAN_UNROLL must be clamped/validated: '0' (natural 'off'
+    spelling), values above the depth, and non-integers all trace fine."""
+    cfg = small_model_cfg("PointTransformer")
+    model = build_model_from_cfg(cfg)
+    pts = _pts()
+    variables = model.init(RNGS, pts, deterministic=True)
+    for val in ("0", "99", "auto"):
+        monkeypatch.setenv("UPP_SCAN_UNROLL", val)
+        jax.clear_caches()   # the env is read at trace time
+        logits = model.apply(variables, pts, deterministic=True)
+        assert np.isfinite(np.asarray(logits)).all(), val

@@ -66,6 +66,26 @@ def test_read_npy_batch_f64(tmp_path):
     np.testing.assert_allclose(out[0], arr.astype(np.float32), rtol=1e-6)
 
 
+def test_read_npy_batch_bad_file_raises(tmp_path):
+    """A failed read must raise (naming the file), not silently feed an
+    all-zero cloud into training (zero clouds NaN the per-cloud
+    normalisation downstream)."""
+    import pytest
+
+    good = str(tmp_path / "good.npy")
+    np.save(good, np.ones((10, 3), np.float32))
+    missing = str(tmp_path / "missing.npy")
+    with pytest.raises(Exception) as ei:
+        native.read_npy_batch([good, missing], 10)
+    assert "missing.npy" in str(ei.value)
+
+    corrupt = str(tmp_path / "corrupt.npy")
+    with open(corrupt, "wb") as f:
+        f.write(b"not an npy file")
+    with pytest.raises(Exception):
+        native.read_npy_batch([good, corrupt], 10)
+
+
 def test_shapenet55_native_batch_path(tmp_path):
     """ShapeNet55.get_batch (native parallel .npy reader) returns bit-identical
     batches to the per-item __getitem__+collate path, and BatchLoader

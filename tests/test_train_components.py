@@ -140,6 +140,35 @@ def test_joint_switch_preserves_optimizer_moments():
                                pa.detach().numpy(), rtol=1e-6, atol=1e-7)
 
 
+def test_joint_switch_non_adamw_needs_state_reinit():
+    """Adam/SGD go through optax.multi_transform whose state STRUCTURE follows
+    the trainable mask — swapping the transform while keeping the old state
+    must fail, which is why the runners re-init opt_state for non-AdamW at
+    the joint/stage-2 switches (runner_cls.apply_joint_switch)."""
+    import optax
+    import pytest
+
+    cfg = ConfigDict.from_nested({
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 1e-3}},
+        "scheduler": {"type": "function", "kwargs": {}},
+    })
+    params = {"backbone_kernel": jnp.ones((4, 8)),
+              "adapter_kernel": jnp.ones((2, 4))}
+    tx, _, _ = build_optimizer(cfg, params, steps_per_epoch=1,
+                               peft_list=["adapter"])
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, state = tx.update(grads, state, params)
+
+    tx2, _, _ = build_optimizer(cfg, params, steps_per_epoch=1,
+                                peft_list=None)
+    with pytest.raises(Exception):
+        tx2.update(grads, state, params)      # stale masked structure
+    fresh = tx2.init(params)                  # the runner's re-init path
+    updates, _ = tx2.update(grads, fresh, params)
+    assert float(jnp.abs(updates["backbone_kernel"]).max()) > 0.0
+
+
 def test_all_shipped_configs_build_models():
     """The full cfgs/ surface parses and resolves to registered models."""
     import glob

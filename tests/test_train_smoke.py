@@ -117,6 +117,55 @@ def test_clean_path_run_net(tmp_path):
     assert best.acc >= 0.0
 
 
+def test_resume_past_joint_switch_keeps_joint_set(tmp_path):
+    """A run resumed AFTER the joint-optimization epoch must come back up with
+    the joint trainable set (the `epoch == joint_epoch` trigger can never
+    fire again): prompter params — frozen under PEFT_LIST, trainable under
+    JOINT_PEFT_LIST — must keep moving in the resumed epochs. (The reference
+    silently reverts to the pre-joint set on such a resume; fixed here.)"""
+    config = tiny_config(tmp_path, max_epoch=1)
+    args = tiny_args(tmp_path)
+    args.joint_optimization = 0      # switch fires at the end of epoch 0
+    runner_cls.run_net(args, config)
+
+    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.state import TrainState
+
+    def load_last():
+        example = jax.numpy.zeros((2, 200, 3), jax.numpy.float32)
+        model, variables = runner_cls.init_model(args, config, example)
+        tx, _, _ = build_optimizer(config, variables["params"], 1,
+                                   peft_list=runner_cls.JOINT_PEFT_LIST)
+        st = TrainState(params=variables["params"],
+                        batch_stats=variables["batch_stats"],
+                        opt_state=tx.init(variables["params"]), step=0)
+        st, ep, _ = ckpt_io.resume_checkpoint(st, str(tmp_path))
+        return jax.device_get(st.params), ep
+
+    p_before, ep = load_last()
+    assert ep == 2  # resumed run starts past the switch epoch
+
+    args.resume = True
+    config.max_epoch = 3
+    runner_cls.run_net(args, config)
+    p_after, _ = load_last()
+
+    flat_after = {tuple(str(k) for k in path): v for path, v in
+                  jax.tree_util.tree_flatten_with_path(p_after)[0]}
+    joint_only_moved = False
+    for path, v0 in jax.tree_util.tree_flatten_with_path(p_before)[0]:
+        name = "/".join(str(k) for k in path)
+        if (peft_detect(name, runner_cls.JOINT_PEFT_LIST)
+                and not peft_detect(name, runner_cls.PEFT_LIST)):
+            if not np.allclose(np.asarray(v0),
+                               np.asarray(flat_after[tuple(str(k) for k in path)])):
+                joint_only_moved = True
+                break
+    assert joint_only_moved, \
+        "no joint-only (prompter) param moved after resume — switch lost"
+
+
 def test_eval_and_vote(tmp_path):
     config = tiny_config(tmp_path, max_epoch=1)
     args = tiny_args(tmp_path)

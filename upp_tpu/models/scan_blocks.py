@@ -235,8 +235,12 @@ class ScannedEncoderStack(nn.Module):
             # partial unroll amortises the per-iteration stacked-param
             # dynamic-slice overhead (58.2 -> 54.8 ms/step on v5e) and, on
             # this toolchain, also compiles FASTER than the rolled scan
+            try:
+                unroll = int(os.environ.get("UPP_SCAN_UNROLL", ""))
+            except ValueError:
+                unroll = min(4, int(n))
             x, (ys, stats) = jax.lax.scan(body, x, xs,
-                                          unroll=int(os.environ.get("UPP_SCAN_UNROLL") or min(4, int(n))))
+                                          unroll=max(1, min(unroll, int(n))))
             if use_prop and stats is not None:
                 stats_updates.append((lo, hi, stats))
             if collect_taps:

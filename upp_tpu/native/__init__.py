@@ -104,10 +104,14 @@ def read_npy_batch(paths: List[str], n_points: int, n_threads: int = 8
     if lib is not None:
         out = np.empty((b, n_points, 3), np.float32)
         blob = b"".join(p.encode() + b"\0" for p in paths)
-        lib.upp_read_npy_batch(blob, b, n_points * 3,
-                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                               n_threads)
-        return out
+        ok = lib.upp_read_npy_batch(
+            blob, b, n_points * 3,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads)
+        if ok == b:
+            return out
+        # a failed read is zero-filled by the C++ side; silently training on
+        # an all-zero cloud (→ 0/0 NaNs in per-cloud normalisation) is worse
+        # than failing — re-read per-item so the exception names the file
     out = np.zeros((b, n_points, 3), np.float32)
     for i, p in enumerate(paths):
         arr = np.load(p).astype(np.float32).reshape(-1, 3)[:n_points]

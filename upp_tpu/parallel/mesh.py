@@ -55,6 +55,48 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+# ------------------------------------------------------------ fsdp (zero-3)
+
+def fsdp_shardings(mesh: Mesh, tree, min_size: int = 16384):
+    """ZeRO-3-style parameter/optimizer-state sharding over the ``data`` axis.
+
+    Shards the largest data-divisible dim of every leaf with ≥ ``min_size``
+    elements; GSPMD then all-gathers each parameter just before use and
+    reduce-scatters its gradient, so per-chip memory for params + Adam
+    moments drops ~data× at the cost of one all-gather per layer per step
+    (riding ICI, overlapped with compute by the XLA scheduler). Small leaves
+    stay replicated — gather latency would dominate their bytes.
+
+    This matters for FULL-param training (the MAE pretrain runner, cfg key
+    ``fsdp: true``): the PEFT runners train ~2% of params, whose moments are
+    already tiny. Replaces the reference's DDP-only memory model
+    (``tools/runner_pretrain.py:80-84`` wraps in DistributedDataParallel —
+    every rank holds full params + full moments).
+
+    Use with ``jax.device_put(tree, fsdp_shardings(mesh, tree))``; works on
+    the param tree and on ``tx.init(params)`` alike (non-array / scalar
+    leaves resolve to replicated).
+    """
+    nd = mesh.shape.get("data", 1)
+    if nd == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), tree)
+
+    def spec(leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        if int(np.prod(shape, dtype=np.int64)) < min_size:
+            return NamedSharding(mesh, P())
+        cands = [(s, i) for i, s in enumerate(shape) if s % nd == 0]
+        if not cands:
+            return NamedSharding(mesh, P())
+        _, dim = max(cands)
+        s: list = [None] * len(shape)
+        s[dim] = "data"
+        return NamedSharding(mesh, P(*s))
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
 # --------------------------------------------------------------- tensor par.
 
 def _tp_spec(path: str, leaf) -> P:

@@ -144,6 +144,24 @@ def make_eval_step(model, config, args):
     return jax.jit(eval_step)
 
 
+def _host_local_replica(tree, place_mesh):
+    """Host-local copy of a (replicated) variable tree for per-host eval.
+
+    Multi-host validate runs each host's loader shard independently, so the
+    eval computation must be process-local: params committed to the GLOBAL
+    mesh would make jit demand globally-addressable inputs. DP training
+    replicates params, so every host holds a full copy — take it from the
+    first addressable shard and re-place it on the local mesh (or local
+    device 0). Model-parallel (tp) param shardings would need a local
+    all-gather instead; validate is only used by the dp runners."""
+    def local(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = np.asarray(x.addressable_data(0))
+        return replicate(place_mesh, x) if place_mesh is not None \
+            else jnp.asarray(x)
+    return jax.tree_util.tree_map(local, tree)
+
+
 def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     preds, labels, idxs = [], [], []
     variables = state.variables
@@ -153,6 +171,7 @@ def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     if jax.process_count() > 1:
         local = jax.local_devices()
         place_mesh = make_mesh(local) if len(local) > 1 else None
+        variables = _host_local_replica(variables, place_mesh)
     else:
         place_mesh = mesh
     it = loader.iter_indexed() if hasattr(loader, "iter_indexed") else (
@@ -243,7 +262,37 @@ def run_net(args, config, train_writer=None, val_writer=None):
 
     metrics = validate(eval_step, state, val_loader, mesh, 0, logger=logger)
 
-    joint_epoch = int(getattr(args, "joint_optimization", -1) or -1)
+    # NOTE: `or -1` would silently discard epoch 0 (0 is falsy) — the
+    # reference's `args.joint_optimization == epoch` accepts it
+    _jo = getattr(args, "joint_optimization", None)
+    joint_epoch = int(_jo) if _jo is not None else -1
+
+    def apply_joint_switch(state):
+        """Swap to the joint trainable set (runner_module.py:228-242).
+
+        The reference flips requires_grad in-place without touching the
+        optimizer, so Adam moments of params that stay trainable survive.
+        The AdamW chain's state structure is mask-independent, so we swap the
+        transform and KEEP the live opt_state; Adam/SGD use multi_transform,
+        whose state structure follows the mask, so their opt_state must be
+        re-initialised (fresh moments — no shipped joint-opt config uses
+        them)."""
+        nonlocal tx, sched, mask, train_step
+        print_log("[joint optimization] switching trainable set", logger=logger)
+        tx, sched, mask = build_optimizer(config, variables["params"],
+                                          steps_per_epoch,
+                                          peft_list=JOINT_PEFT_LIST)
+        train_step = make_train_step(model, tx, config, args)
+        if config.optimizer.type != "AdamW":
+            state = state.replace(opt_state=jax.jit(tx.init)(state.params))
+        return state
+
+    # a resumed run that is already past the switch epoch must not fall back
+    # to the pre-joint trainable set (the `epoch == joint_epoch` trigger
+    # below would never fire again; the reference has the same resume defect)
+    if 0 <= joint_epoch < start_epoch:
+        state = apply_joint_switch(state)
+
     max_epoch = int(config.max_epoch)
     for epoch in range(start_epoch, max_epoch + 1):
         train_loader.set_epoch(epoch)
@@ -283,17 +332,8 @@ def run_net(args, config, train_writer=None, val_writer=None):
         for item in pending:
             drain(*item)
 
-        # joint optimization: unfreeze prompters (runner_module.py:228-242).
-        # The reference flips requires_grad in-place without touching the
-        # optimizer, so Adam moments of params that stay trainable survive;
-        # the AdamW chain's state structure is mask-independent, so we swap
-        # the transform and KEEP the live opt_state.
         if epoch == joint_epoch:
-            print_log("[joint optimization] switching trainable set", logger=logger)
-            tx, sched, mask = build_optimizer(config, variables["params"],
-                                              steps_per_epoch,
-                                              peft_list=JOINT_PEFT_LIST)
-            train_step = make_train_step(model, tx, config, args)
+            state = apply_joint_switch(state)
 
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,

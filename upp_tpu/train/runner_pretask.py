@@ -261,6 +261,26 @@ def run_net(args, config, train_writer=None, val_writer=None):
     rng = jax.random.key(args.seed + 777)
     metrics = CDMetric(1000.0)
 
+    def apply_stage2_switch(state):
+        # reference flips requires_grad in-place (runner_pretask stage-2
+        # freeze): the AdamW chain's state is mask-independent, so keep
+        # the live opt_state — moments of params that stay trainable
+        # survive the switch (see runner_cls joint-opt note); Adam/SGD's
+        # multi_transform state follows the mask and must be re-inited.
+        nonlocal tx, sched, mask, train_step
+        print_log("[stage 2] freezing rectify set", logger=logger)
+        tx, sched, mask = build_optimizer(config, state.params,
+                                          steps_per_epoch,
+                                          peft_list=PRETASK_STAGE2_LIST)
+        train_step = make_pretask_train_step(model, tx, config, args)
+        if config.optimizer.type != "AdamW":
+            state = state.replace(opt_state=jax.jit(tx.init)(state.params))
+        return state
+
+    # a resumed run already past the switch must not revert to stage 1
+    if start_epoch > STAGE2_EPOCH:
+        state = apply_stage2_switch(state)
+
     for epoch in range(start_epoch, int(config.max_epoch) + 1):
         train_loader.set_epoch(epoch)
         meters = AverageMeter(["CroppingCoarseLoss", "CroppingDenseLoss",
@@ -280,15 +300,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
                    ["%.4f" % v for v in meters.avg()]), logger=logger)
 
         if epoch == STAGE2_EPOCH:
-            # reference flips requires_grad in-place (runner_pretask stage-2
-            # freeze): the AdamW chain's state is mask-independent, so keep
-            # the live opt_state — moments of params that stay trainable
-            # survive the switch (see runner_cls joint-opt note).
-            print_log("[stage 2] freezing rectify set", logger=logger)
-            tx, sched, mask = build_optimizer(config, state.params,
-                                              steps_per_epoch,
-                                              peft_list=PRETASK_STAGE2_LIST)
-            train_step = make_pretask_train_step(model, tx, config, args)
+            state = apply_stage2_switch(state)
 
         if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:
             metrics = validate(eval_step, state, val_loader, epoch, logger=logger)

@@ -68,12 +68,34 @@ def svm_probe(model, state, train_loader, val_loader, npoints: int,
         return model.apply(variables, points, eval_features=True,
                            deterministic=True)
 
+    # multi-host: each host featurises its own loader shard with a host-local
+    # replica of the params (global-mesh params would make jit demand
+    # globally-addressable inputs), then features are gathered across hosts
+    # before the fit — the reference gathers rank features the same way
+    # (``runner_pretrain.py:245-249``).
+    variables = state.variables
+    if jax.process_count() > 1:
+        from .runner_cls import _host_local_replica
+        local = jax.local_devices()
+        lmesh = make_mesh(local) if len(local) > 1 else None
+        variables = _host_local_replica(variables, lmesh)
+
     def collect(loader):
         X, y = [], []
         for pts, label in loader:
-            X.append(np.asarray(features(state.variables, jnp.asarray(pts))))
+            X.append(np.asarray(features(variables, jnp.asarray(pts))))
             y.append(label)
-        return np.concatenate(X), np.concatenate(y)
+        X, y = np.concatenate(X), np.concatenate(y)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            # shard padding keeps per-host counts equal; the few padded
+            # duplicates are harmless to an SVM fit (the reference's
+            # DistributedSampler-padded gather has the same property)
+            X = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(X))).reshape(-1, X.shape[-1])
+            y = np.asarray(multihost_utils.process_allgather(
+                jnp.asarray(y))).reshape(-1)
+        return X, y
 
     Xtr, ytr = collect(train_loader)
     Xte, yte = collect(val_loader)
@@ -131,9 +153,17 @@ def run_net(args, config, train_writer=None, val_writer=None):
     steps_per_epoch = max(len(train_loader), 1)
     tx, sched, mask = build_optimizer(config, variables["params"],
                                       steps_per_epoch, peft_list=None)
-    state = TrainState(params=replicate(mesh, variables["params"]),
+    if bool(config.get("fsdp", False)) and mesh.size > 1:
+        # full-param training: shard params + Adam moments over the data
+        # axis (ZeRO-3); GSPMD inserts the per-layer all-gathers and
+        # gradient reduce-scatters. PEFT runners don't need this (§ mesh.py)
+        from ..parallel.mesh import fsdp_shardings
+        place = lambda t: jax.device_put(t, fsdp_shardings(mesh, t))
+    else:
+        place = lambda t: replicate(mesh, t)
+    state = TrainState(params=place(variables["params"]),
                        batch_stats=replicate(mesh, variables["batch_stats"]),
-                       opt_state=replicate(mesh, tx.init(variables["params"])),
+                       opt_state=place(tx.init(variables["params"])),
                        step=jnp.zeros((), jnp.int32))
     start_epoch = 0
     best = AccMetric(0.0)

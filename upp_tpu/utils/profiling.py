@@ -58,7 +58,8 @@ def cost_analysis(fn, *args, **kwargs) -> Dict[str, Any]:
 
 
 def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
-                       iters: int = 15, batch_size: int = None):
+                       iters: int = 15, batch_size: int = None,
+                       deep: bool = False):
     """Per-phase wall-time profile of the flagship PEFT train step.
 
     Methodology (see BASELINE.md "round 2 step-time profile"): on tunneled
@@ -84,18 +85,25 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
     from ..train.state import TrainState
     from .config import cfg_from_yaml_file
 
+    import copy
+
     config = cfg_from_yaml_file(config_path)
     B = int(batch_size or config.total_bs)
     n_pts_ds = int(config.dataset.train._base_.N_POINTS)
     npoints = int(config.npoints)
-    model = build_model_from_cfg(config.model)
-    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
-            "droppath": jax.random.key(2)}
-    variables = dict(jit_init(model, rngs,
-                              jnp.zeros((2, npoints + 72, 3), jnp.float32),
-                              completion_prompt=True, denoise=True,
-                              point_num=npoints, deterministic=True))
-    variables.setdefault("batch_stats", {})
+
+    def build(model_cfg):
+        model = build_model_from_cfg(model_cfg)
+        rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+                "droppath": jax.random.key(2)}
+        variables = dict(jit_init(model, rngs,
+                                  jnp.zeros((2, npoints + 72, 3), jnp.float32),
+                                  completion_prompt=True, denoise=True,
+                                  point_num=npoints, deterministic=True))
+        variables.setdefault("batch_stats", {})
+        return model, variables
+
+    model, variables = build(config.model)
     tx, _, _ = build_optimizer(config, variables["params"],
                                steps_per_epoch=82, peft_list=PEFT_LIST)
     rng0 = np.random.default_rng(0)
@@ -103,7 +111,8 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
     label = jnp.asarray(rng0.integers(0, 40, B).astype(np.int32))
     key = jax.random.key(1)
 
-    def make_step(do_pipe=True, passes="full", do_grad=True):
+    def make_step(do_pipe=True, passes="full", do_grad=True, model=model,
+                  tx=tx):
         def train_step(state, pts, label, rng):
             rng = jax.random.fold_in(rng, state.step)
             k_pipe, k_drop, k_path = jax.random.split(rng, 3)
@@ -141,8 +150,8 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
                                  opt_state=opt_state, step=state.step + 1), loss
         return jax.jit(train_step, donate_argnums=(0,))
 
-    def run(**kw):
-        step = make_step(**kw)
+    def run(variables=variables, tx=tx, **kw):
+        step = make_step(tx=tx, **kw)
         cp = lambda t: jax.tree_util.tree_map(jnp.copy, t)
         st = TrainState(params=cp(variables["params"]),
                         batch_stats=cp(variables["batch_stats"]),
@@ -156,6 +165,25 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
         float(l)
         return (time.perf_counter() - t0) / iters * 1000.0
 
+    def run_variant(**model_cfg_overrides):
+        """Full step with a structurally-modified model config — isolates the
+        cost of an architectural feature (e.g. per-block prompt propagation)
+        that cannot be switched off inside one trace."""
+        mc = copy.deepcopy(config.model)
+        for k, v in model_cfg_overrides.items():
+            parts = k.split(".")
+            tgt = mc
+            for p in parts[:-1]:
+                tgt = tgt[p]
+            tgt[parts[-1]] = v
+        vmodel, vvars = build(mc)
+        vtx, _, _ = build_optimizer(config, vvars["params"],
+                                    steps_per_epoch=82, peft_list=PEFT_LIST)
+        return run(variables=vvars, tx=vtx, model=vmodel)
+
+    # run() must hand tx to BOTH the step closure and the opt_state init —
+    # a variant model's param tree doesn't match the base optimizer's masks.
+
     full = run()
     no_pipe = run(do_pipe=False)
     down_only = run(passes="downstream")
@@ -168,6 +196,19 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
         ("  downstream fwd + encoder/heads", fwd_only - (full - no_pipe)
          - (full - down_only)),
     ]
+    if deep:
+        no_prop = run_variant(prompt_propagation_after=False)
+        no_adapters = run_variant(**{"prompter_config.rectify_adapter": False,
+                                     "prompter_config.pretask_adapter": False,
+                                     "prompter_config.downstream_adapter": False})
+        no_prompts = run_variant(**{"prompter_config.rectify_prompts": False,
+                                    "prompter_config.pretask_prompts": False,
+                                    "prompter_config.downstream_prompts": False})
+        rows += [
+            ("  [deep] prompt propagation (all blocks)", full - no_prop),
+            ("  [deep] adapters (all paths)", full - no_adapters),
+            ("  [deep] prompt tokens (attn width delta)", full - no_prompts),
+        ]
     print(f"{'phase':44s} ms/step  (bs={B}, pipelined x{iters})")
     for name, ms in rows:
         print(f"{name:44s} {ms:7.1f}")
@@ -176,4 +217,6 @@ def profile_train_step(config_path: str = "cfgs/unify_modelnet_cls.yaml",
 
 if __name__ == "__main__":
     import sys
-    profile_train_step(*(sys.argv[1:2] or ["cfgs/unify_modelnet_cls.yaml"]))
+    argv = [a for a in sys.argv[1:] if a != "--deep"]
+    profile_train_step(*(argv[:1] or ["cfgs/unify_modelnet_cls.yaml"]),
+                       deep="--deep" in sys.argv)

@@ -339,3 +339,26 @@ def load_reference_seg() -> Dict:
                  "ref/Point_MAE_unify_segment.py", "exec"), ns)
     _SEG_CACHE.update(ns)
     return _SEG_CACHE
+
+
+_MAE_CACHE: Dict[str, Dict] = {}
+
+
+def load_reference_mae() -> Dict:
+    """Exec the patched ``models/Point_MAE_cp.py`` (vanilla Point-MAE
+    pretraining + PointTransformer baselines) with the shared CUDA stubs;
+    cross-wires Adapter (from Point_MAE_unify) and square_distance/
+    index_points (from modules) as its imports would have bound them."""
+    if _MAE_CACHE:
+        return _MAE_CACHE
+    base = load_reference_models()
+    ns = _base_globals()
+    ns.update({
+        "square_distance": base["modules"]["square_distance"],
+        "index_points": base["modules"]["index_points"],
+        "Adapter": base["unify"]["Adapter"],
+    })
+    exec(compile(_patched_source(f"{REF_MODELS}/Point_MAE_cp.py"),
+                 "ref/Point_MAE_cp.py", "exec"), ns)
+    _MAE_CACHE.update(ns)
+    return _MAE_CACHE

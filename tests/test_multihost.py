@@ -85,6 +85,145 @@ _WORKER_JIT = textwrap.dedent("""
 """)
 
 
+_WORKER_SEG = textwrap.dedent("""
+    import os, sys
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    from upp_tpu.parallel.mesh import make_mesh, replicate
+    from upp_tpu.train.runner_seg import validate
+    from upp_tpu.train.state import TrainState
+
+    # SIZE=9 over 2 shards pads -> one duplicated sample; dedup must drop it
+    ds = build_dataset_from_cfg(
+        {"NAME": "SyntheticPart", "N_POINTS": 32, "SIZE": 9},
+        {"subset": "test"})
+    loader = BatchLoader(ds, 4, shuffle=False, drop_last=False,
+                         num_shards=2, shard_index=pid, prefetch=0)
+
+    gmesh = make_mesh()
+    state = TrainState(params={"w": replicate(gmesh, jnp.float32(3.0))},
+                       batch_stats={}, opt_state=None, step=0)
+
+    @jax.jit
+    def eval_step(variables, pts, cls):
+        w = variables["params"]["w"]
+        q = jnp.argsort(jnp.argsort(pts[:, :, 0], axis=1), axis=1) / pts.shape[1]
+        tgt = q * w * 10.0
+        return -(jnp.arange(50.0)[None, None, :] - tgt[..., None]) ** 2
+
+    m = validate(eval_step, state, loader, 0)
+    print(f"SEG_RESULT {m['accuracy']:.6f} {m['class_avg_iou']:.6f} "
+          f"{m['instance_avg_iou']:.6f}")
+""")
+
+
+_WORKER_PRETASK = textwrap.dedent("""
+    import os, sys
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    from upp_tpu.parallel.mesh import make_mesh, replicate
+    from upp_tpu.train.runner_pretask import validate
+    from upp_tpu.train.state import TrainState
+
+    # SIZE=8 splits evenly over 2 shards -> the global meter combine must
+    # reproduce the single-process average exactly
+    ds = build_dataset_from_cfg(
+        {"NAME": "Synthetic", "N_POINTS": 64, "NUM_CATEGORY": 4, "SIZE": 8},
+        {"subset": "test"})
+    loader = BatchLoader(ds, 1, shuffle=False, drop_last=False,
+                         num_shards=2, shard_index=pid, prefetch=0)
+
+    gmesh = make_mesh()
+    state = TrainState(params={"w": replicate(gmesh, jnp.float32(2.0))},
+                       batch_stats={}, opt_state=None, step=0)
+
+    @jax.jit
+    def eval_step(variables, gt, vp):
+        w = variables["params"]["w"]
+        base = jnp.abs(gt).mean() * w + vp.sum()
+        return {"sparse_l1": base, "sparse_l2": base * 2,
+                "dense_l1": base * 3, "dense_l2": base * 4}
+
+    m = validate(eval_step, state, loader, 0)
+    print(f"PRETASK_RESULT {m.cd:.8f}")
+""")
+
+
+_WORKER_TRAIN = textwrap.dedent("""
+    import os, sys
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    import jax.numpy as jnp
+    import numpy as np
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_pretrain import make_pretrain_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    config = ConfigDict.from_nested({
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2",
+                  "transformer_config": {
+                      "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 48,
+                      "encoder_dims": 48, "depth": 2, "drop_path_rate": 0.0,
+                      "num_heads": 4, "decoder_depth": 2,
+                      "decoder_num_heads": 4}},
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10,
+                                                  "initial_epochs": 1}},
+        "npoints": 64, "data_augmentation": "scale-translate"})
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(jit_init(model, rngs, jnp.zeros((2, 96, 3), jnp.float32),
+                              deterministic=False))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"],
+                               steps_per_epoch=10, peft_list=None)
+    mesh = make_mesh()
+    with mesh:
+        state = TrainState(params=replicate(mesh, variables["params"]),
+                           batch_stats=replicate(mesh, variables["batch_stats"]),
+                           opt_state=replicate(mesh, tx.init(variables["params"])),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_pretrain_step(model, tx, config)
+        # 3 global batches of 16; each host feeds its own 8-row shard
+        data = np.random.default_rng(42).standard_normal(
+            (3, 16, 96, 3)).astype(np.float32)
+        for i in range(3):
+            local = data[i, pid * 8:(pid + 1) * 8]
+            state, m = step(state, shard_batch(mesh, jnp.asarray(local)),
+                            jax.random.key(5))
+        loss = float(np.asarray(m["loss"].addressable_data(0)))
+        ck = float(sum(np.abs(np.asarray(l.addressable_data(0))).sum()
+                       for l in jax.tree_util.tree_leaves(state.params)))
+    print(f"TRAIN_RESULT {loss:.8f} {ck:.6f}")
+""")
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -93,7 +232,7 @@ def _free_port():
     return port
 
 
-def _run_two_process(tmp_path, worker_src):
+def _run_two_process(tmp_path, worker_src, prefix="ACC_RESULT"):
     worker = tmp_path / "worker.py"
     worker.write_text(worker_src)
     port = _free_port()
@@ -109,12 +248,12 @@ def _run_two_process(tmp_path, worker_src):
     outs = [p.communicate(timeout=420) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-    accs = []
+    vals = []
     for out, _ in outs:
-        line = next(l for l in out.splitlines() if l.startswith("ACC_RESULT"))
-        accs.append(float(line.split()[1]))
-    assert accs[0] == accs[1]
-    return accs[0]
+        line = next(l for l in out.splitlines() if l.startswith(prefix))
+        vals.append([float(v) for v in line.split()[1:]])
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+    return vals[0]
 
 
 def _oracle_acc():
@@ -132,7 +271,7 @@ def _oracle_acc():
 
 
 def test_two_process_validate_gather(tmp_path):
-    acc = _run_two_process(tmp_path, _WORKER)
+    acc = _run_two_process(tmp_path, _WORKER)[0]
     np.testing.assert_allclose(acc, _oracle_acc(), atol=1e-4)
 
 
@@ -140,5 +279,133 @@ def test_two_process_validate_jitted_multidevice(tmp_path):
     """2 processes x 4 local CPU devices with params committed to the GLOBAL
     8-device mesh and a jitted eval_step — exercises validate's
     host-local-replica placement (not just the gather)."""
-    acc = _run_two_process(tmp_path, _WORKER_JIT)
+    acc = _run_two_process(tmp_path, _WORKER_JIT)[0]
     np.testing.assert_allclose(acc, _oracle_acc(), atol=1e-4)
+
+
+def test_two_process_pretask_validate_matches_single_process(tmp_path):
+    """runner_pretask.validate over 2 hosts: host-local params replica + the
+    global CD-meter combine (sums+counts allgather) must reproduce the
+    single-process average over the full set — the reference reports
+    rank-local CD only."""
+    cd_2p = _run_two_process(tmp_path, _WORKER_PRETASK,
+                             prefix="PRETASK_RESULT")[0]
+
+    import jax.numpy as jnp
+
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    from upp_tpu.train.runner_pretask import validate
+    from upp_tpu.train.state import TrainState
+
+    ds = build_dataset_from_cfg(
+        {"NAME": "Synthetic", "N_POINTS": 64, "NUM_CATEGORY": 4, "SIZE": 8},
+        {"subset": "test"})
+    loader = BatchLoader(ds, 1, shuffle=False, drop_last=False, prefetch=0)
+    state = TrainState(params={"w": jnp.float32(2.0)}, batch_stats={},
+                       opt_state=None, step=0)
+
+    def eval_step(variables, gt, vp):
+        w = variables["params"]["w"]
+        base = jnp.abs(gt).mean() * w + vp.sum()
+        return {"sparse_l1": base, "sparse_l2": base * 2,
+                "dense_l1": base * 3, "dense_l2": base * 4}
+
+    m = validate(eval_step, state, loader, 0)
+    np.testing.assert_allclose(cd_2p, m.cd, rtol=1e-6)
+
+
+def test_two_process_seg_validate_matches_single_process(tmp_path):
+    """runner_seg.validate over 2 hosts (host-local params replica, per-sample
+    gather, shard-padding dedup) must equal the single-process sweep over the
+    full set — the reference's seg validation is rank-local only."""
+    seg_2p = _run_two_process(tmp_path, _WORKER_SEG, prefix="SEG_RESULT")
+
+    import jax
+    import jax.numpy as jnp
+
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    from upp_tpu.train.runner_seg import validate
+    from upp_tpu.train.state import TrainState
+
+    ds = build_dataset_from_cfg(
+        {"NAME": "SyntheticPart", "N_POINTS": 32, "SIZE": 9},
+        {"subset": "test"})
+    loader = BatchLoader(ds, 4, shuffle=False, drop_last=False, prefetch=0)
+    state = TrainState(params={"w": jnp.float32(3.0)}, batch_stats={},
+                       opt_state=None, step=0)
+
+    def eval_step(variables, pts, cls):
+        w = variables["params"]["w"]
+        q = jnp.argsort(jnp.argsort(pts[:, :, 0], axis=1), axis=1) / pts.shape[1]
+        tgt = q * w * 10.0
+        return -(jnp.arange(50.0)[None, None, :] - tgt[..., None]) ** 2
+
+    m = validate(eval_step, state, loader, 0)
+    np.testing.assert_allclose(
+        seg_2p, [m["accuracy"], m["class_avg_iou"], m["instance_avg_iou"]],
+        atol=1e-6)
+
+
+def test_two_process_train_step_matches_single_process(tmp_path):
+    """2 hosts x 4 devices TRAINING over the global dp mesh: each host feeds
+    its own 8-row loader shard through shard_batch (which must assemble the
+    16-row GLOBAL batch via make_array_from_process_local_data — a plain
+    device_put would silently shrink the batch to each host's addressable
+    slice); 3 compounding full-param AdamW steps must produce the same loss
+    and params as the single-process 8-device run on the concatenated
+    batches. Replaces the reference's DDP gradient-allreduce trust
+    (``utils/dist_utils.py:41-48``) with an executable equivalence check."""
+    loss_2p, ck_2p = _run_two_process(tmp_path, _WORKER_TRAIN,
+                                      prefix="TRAIN_RESULT")
+
+    import jax
+    import jax.numpy as jnp
+
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_pretrain import make_pretrain_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    config = ConfigDict.from_nested({
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2",
+                  "transformer_config": {
+                      "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 48,
+                      "encoder_dims": 48, "depth": 2, "drop_path_rate": 0.0,
+                      "num_heads": 4, "decoder_depth": 2,
+                      "decoder_num_heads": 4}},
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10,
+                                                  "initial_epochs": 1}},
+        "npoints": 64, "data_augmentation": "scale-translate"})
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(jit_init(model, rngs, jnp.zeros((2, 96, 3), jnp.float32),
+                              deterministic=False))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"],
+                               steps_per_epoch=10, peft_list=None)
+    mesh = make_mesh(jax.devices()[:8])
+    with mesh:
+        state = TrainState(params=replicate(mesh, variables["params"]),
+                           batch_stats=replicate(mesh, variables["batch_stats"]),
+                           opt_state=replicate(mesh, tx.init(variables["params"])),
+                           step=jnp.zeros((), jnp.int32))
+        step = make_pretrain_step(model, tx, config)
+        data = np.random.default_rng(42).standard_normal(
+            (3, 16, 96, 3)).astype(np.float32)
+        for i in range(3):
+            state, m = step(state, shard_batch(mesh, jnp.asarray(data[i])),
+                            jax.random.key(5))
+        loss_1p = float(np.asarray(m["loss"]))
+        ck_1p = float(sum(np.abs(np.asarray(l)).sum()
+                          for l in jax.tree_util.tree_leaves(
+                              jax.device_get(state.params))))
+
+    np.testing.assert_allclose(loss_2p, loss_1p, rtol=1e-5)
+    np.testing.assert_allclose(ck_2p, ck_1p, rtol=1e-5)

@@ -166,6 +166,63 @@ def test_resume_past_joint_switch_keeps_joint_set(tmp_path):
         "no joint-only (prompter) param moved after resume — switch lost"
 
 
+def test_resume_is_bitwise_equivalent_to_uninterrupted(tmp_path):
+    """Preemption recovery guarantee: N epochs straight == k epochs + resume
+    + (N-k) epochs, down to the last bit of params/batch_stats/step. Holds
+    because every stochastic stream is derived from persistent state (the
+    per-step rng is fold_in(step), the loader shuffle is seeded by epoch) and
+    the orbax round trip is exact. The reference has no such guarantee test;
+    its --resume restores weights+epoch only (tools/builder.py:91-125)."""
+    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.state import TrainState
+
+    def final_state(exp_dir):
+        example = jax.numpy.zeros((2, 128 + 72, 3), jax.numpy.float32)
+        model, variables = runner_cls.init_model(
+            tiny_args(exp_dir), tiny_config(exp_dir, noisy=False), example)
+        tx, _, _ = build_optimizer(tiny_config(exp_dir, noisy=False),
+                                   variables["params"], 1,
+                                   peft_list=runner_cls.PEFT_LIST)
+        st = TrainState(params=variables["params"],
+                        batch_stats=variables["batch_stats"],
+                        opt_state=tx.init(variables["params"]), step=0)
+        st, ep, _ = ckpt_io.resume_checkpoint(st, str(exp_dir))
+        return jax.device_get(st), ep
+
+    # run A: 4 epochs uninterrupted
+    dir_a = tmp_path / "a"
+    dir_a.mkdir()
+    config = tiny_config(dir_a, noisy=False, max_epoch=3)
+    args = tiny_args(dir_a)
+    runner_cls.run_net(args, config)
+    st_a, ep_a = final_state(dir_a)
+
+    # run B: 2 epochs, "preempt", resume for the remaining 2
+    dir_b = tmp_path / "b"
+    dir_b.mkdir()
+    config = tiny_config(dir_b, noisy=False, max_epoch=1)
+    args = tiny_args(dir_b)
+    runner_cls.run_net(args, config)
+    config = tiny_config(dir_b, noisy=False, max_epoch=3)
+    args = tiny_args(dir_b)
+    args.resume = True
+    runner_cls.run_net(args, config)
+    st_b, ep_b = final_state(dir_b)
+
+    assert ep_a == ep_b == 4
+    assert int(st_a.step) == int(st_b.step)
+    for tree_a, tree_b, what in [(st_a.params, st_b.params, "params"),
+                                 (st_a.batch_stats, st_b.batch_stats, "bn"),
+                                 (st_a.opt_state, st_b.opt_state, "opt")]:
+        la = jax.tree_util.tree_leaves(tree_a)
+        lb = jax.tree_util.tree_leaves(tree_b)
+        assert len(la) == len(lb), what
+        for xa, xb in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb),
+                                          err_msg=what)
+
+
 def test_eval_and_vote(tmp_path):
     config = tiny_config(tmp_path, max_epoch=1)
     args = tiny_args(tmp_path)

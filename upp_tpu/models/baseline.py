@@ -42,12 +42,13 @@ class PointMAE(nn.Module):
         self.pos_embed = PosEmbedMLP(tc.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
-            drop_path_rate=tc.drop_path_rate)
+            drop_path_rate=tc.drop_path_rate, plain=True)
         self.norm = nn.LayerNorm()
         self.decoder_pos_embed = PosEmbedMLP(tc.trans_dim)
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=tc.trans_dim, depth=tc.decoder_depth,
-            num_heads=tc.decoder_num_heads, drop_path_rate=tc.drop_path_rate)
+            num_heads=tc.decoder_num_heads, drop_path_rate=tc.drop_path_rate,
+            adapters=False)
         self.increase_dim = nn.Dense(3 * self.group_size, name="increase_dim_conv")
         self.mask_token = self.param("mask_token", trunc_normal_init,
                                      (1, 1, tc.trans_dim))
@@ -75,14 +76,19 @@ class PointMAE(nn.Module):
             return jnp.max(self.norm(x), axis=1)
 
         vis_idx, mask_idx = self._rand_mask_idx(B)
-        vis_neigh = jnp.take_along_axis(
-            g.neighborhood, vis_idx[..., None, None], axis=1)
         vis_center = jnp.take_along_axis(g.center, vis_idx[..., None], axis=1)
         mask_center = jnp.take_along_axis(g.center, mask_idx[..., None], axis=1)
         mask_neigh = jnp.take_along_axis(
             g.neighborhood, mask_idx[..., None, None], axis=1)
 
-        tokens = self.encoder(vis_neigh, use_running_average=deterministic)
+        # encode ALL groups, then gather the visible tokens: the reference
+        # runs the encoder before the mask select (Point_MAE_cp.py:352-357),
+        # so in train mode the encoder's BatchNorm statistics couple the
+        # masked groups too — encoding only the visible neighbourhoods would
+        # shift the BN batch stats and drift the training dynamics.
+        all_tokens = self.encoder(g.neighborhood,
+                                  use_running_average=deterministic)
+        tokens = jnp.take_along_axis(all_tokens, vis_idx[..., None], axis=1)
         x_vis = self.blocks(tokens, self.pos_embed(vis_center), path="none",
                             deterministic=deterministic)
         x_vis = self.norm(x_vis)
@@ -114,7 +120,7 @@ class PointTransformer(nn.Module):
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate)
+            drop_path_rate=cfg.drop_path_rate, plain=True)
         self.norm = nn.LayerNorm()
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, cfg.trans_dim))

@@ -90,6 +90,11 @@ class ScannedEncoderStack(nn.Module):
     drop_path_rate: float = 0.0
     prompter: PrompterConfig = PrompterConfig()
     is_decoder: bool = False  # decoder variant: pretask adapters in ALL blocks
+    # plain ViT stack (vanilla Point_MAE / PointTransformer,
+    # Point_MAE_cp.py:166-237): no prompts, no adapters, no propagation
+    # pooling BN — their reference blocks have none of those params, and
+    # creating them would break torch-checkpoint round-trips (orphan leaves).
+    plain: bool = False
     # bf16 matmuls with f32 accumulation (the reference's `if_half` knob);
     # LayerNorm/softmax/residual math stays f32.
     compute_dtype: Any = jnp.float32
@@ -117,13 +122,14 @@ class ScannedEncoderStack(nn.Module):
         self.mlp_fc1_bias = self.param("mlp_fc1_bias", zeros, (L, hidden))
         self.mlp_fc2_kernel = self.param("mlp_fc2_kernel", trunc02, (L, hidden, C))
         self.mlp_fc2_bias = self.param("mlp_fc2_bias", zeros, (L, C))
-        # pooling BatchNorm, one per block (PEFT recipe trains 'bnorm')
-        self.bnorm_scale = self.param("bnorm_scale", ones, (L, C))
-        self.bnorm_bias = self.param("bnorm_bias", zeros, (L, C))
-        self.bnorm_mean = self.variable("batch_stats", "bnorm_mean",
-                                        lambda: jnp.zeros((L, C)))
-        self.bnorm_var = self.variable("batch_stats", "bnorm_var",
-                                       lambda: jnp.ones((L, C)))
+        if not self.plain:
+            # pooling BatchNorm, one per block (PEFT recipe trains 'bnorm')
+            self.bnorm_scale = self.param("bnorm_scale", ones, (L, C))
+            self.bnorm_bias = self.param("bnorm_bias", zeros, (L, C))
+            self.bnorm_mean = self.variable("batch_stats", "bnorm_mean",
+                                            lambda: jnp.zeros((L, C)))
+            self.bnorm_var = self.variable("batch_stats", "bnorm_var",
+                                           lambda: jnp.ones((L, C)))
 
         def make_adapter(prefix, La):
             return {
@@ -143,7 +149,9 @@ class ScannedEncoderStack(nn.Module):
 
         adapters: Dict[str, Dict[str, jnp.ndarray]] = {}
         prompts: Dict[str, jnp.ndarray] = {}
-        if self.is_decoder:
+        if self.plain:
+            pass
+        elif self.is_decoder:
             adapters["pretask"] = make_adapter("pretask_adapter", L)
         else:
             if p.rectify_adapter and p.rectify_depth:
@@ -434,12 +442,17 @@ class ScannedDecoderStack(nn.Module):
     drop_path_rate: float = 0.0
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    # pretask adapters in every block (the UPP decoders,
+    # Point_MAE_pretask_dev.py:352-384). False = the vanilla Point_MAE
+    # decoder (Point_MAE_cp.py:205-237), which has plain blocks.
+    adapters: bool = True
 
     def setup(self):
         self.blocks = ScannedEncoderStack(
             embed_dim=self.embed_dim, depth=self.depth,
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
-            is_decoder=True, compute_dtype=self.compute_dtype,
+            is_decoder=True, plain=not self.adapters,
+            compute_dtype=self.compute_dtype,
             remat=self.remat)
         self.norm = nn.LayerNorm()
 

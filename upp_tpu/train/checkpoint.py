@@ -74,6 +74,7 @@ def save_checkpoint(state: TrainState, epoch: int, prefix: str,
     snap_opt = [jnp.copy(x) for x in jax.tree_util.tree_leaves(state.opt_state)]
     snap_stats = (jax.tree_util.tree_map(jnp.copy, state.batch_stats)
                   if state.batch_stats else None)
+    snap_step = jnp.copy(state.step)  # drives the per-step rng stream
     meta = {"epoch": int(epoch),
             # orbax rejects empty dict nodes — keep a sentinel entry
             "metrics": {str(k): float(v)
@@ -84,7 +85,8 @@ def save_checkpoint(state: TrainState, epoch: int, prefix: str,
     def write():
         try:
             payload = {"params": _to_numpy(snap_params),
-                       "opt_leaves": [np.asarray(x) for x in snap_opt], **meta}
+                       "opt_leaves": [np.asarray(x) for x in snap_opt],
+                       "step": int(np.asarray(snap_step)), **meta}
             if snap_stats is not None:
                 payload["batch_stats"] = _to_numpy(snap_stats)
             _checkpointer().save(path, payload, force=True)
@@ -126,7 +128,13 @@ def resume_checkpoint(state: TrainState, experiment_path: str,
     new_state = state.replace(
         params=restored["params"],
         batch_stats=restored.get("batch_stats") or {},
-        opt_state=jax.tree_util.tree_unflatten(treedef, opt_leaves))
+        opt_state=jax.tree_util.tree_unflatten(treedef, opt_leaves),
+        # the global step drives the per-step rng stream
+        # (train_step: fold_in(rng, state.step)); without it a resumed run
+        # would REPLAY the epoch-0 noise/dropout stream. Older checkpoints
+        # (pre round 3) lack the field — fall back to the fresh-state value.
+        step=jnp.asarray(int(restored.get("step", jax.device_get(state.step))),
+                         jnp.int32))
     start = int(restored["epoch"]) + 1
     print_log(f"[RESUME] restored ckpt @ epoch {restored['epoch']}", logger=logger)
     return new_state, start, dict(restored.get("metrics") or {})

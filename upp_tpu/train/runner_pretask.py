@@ -158,6 +158,14 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     The per-taxonomy Metrics table lives in ``validate_detailed``."""
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
     variables = state.variables
+    if jax.process_count() > 1:
+        # host-local eval over this host's loader shard (global-mesh params
+        # would make the jitted step demand globally-addressable inputs)
+        from .runner_cls import _host_local_replica
+        from ..parallel.mesh import make_mesh as _make_mesh
+        local = jax.local_devices()
+        variables = _host_local_replica(
+            variables, _make_mesh(local) if len(local) > 1 else None)
     viewpoints = VIEWPOINTS_8 if in_detail else VIEWPOINTS_8[:1]
     pending = []   # fetch once after the sweep (per-batch fetch = RT stall)
     for batch in loader:
@@ -167,6 +175,19 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     for m in jax.device_get(pending):
         meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
                        float(m["dense_l1"]), float(m["dense_l2"])])
+    if jax.process_count() > 1:
+        # combine the per-host CD meters (sums + counts) so every host
+        # reports — and ckpt-best tracks — the GLOBAL metric; the reference
+        # reports rank-local CD only (runner_pretask.py:314-383 has no
+        # gather). Shard padding may duplicate a sample; the bias on an
+        # averaged CD is ≤1/len(val) and identical on every host.
+        from jax.experimental import multihost_utils
+        sums_counts = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray([meters._sum, [float(c) for c in meters._count]])))
+        g_sum = sums_counts[:, 0].sum(0)
+        g_cnt = sums_counts[:, 1].sum(0)
+        meters.reset()
+        meters.update([s / max(c, 1.0) for s, c in zip(g_sum, g_cnt)])
     print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
               % (epoch, meters.avg(3)), logger=logger)
     return CDMetric(meters.avg(3))

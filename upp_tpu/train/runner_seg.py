@@ -111,9 +111,22 @@ def make_seg_eval_step(model, config, unify: bool):
 
 def validate(eval_step, state, loader, epoch, logger=None):
     """(``runner_unify_seg.py:300-368``): per-object argmax restricted to the
-    object's category part range, then the mIoU suite."""
+    object's category part range, then the mIoU suite.
+
+    Multi-host: each host evaluates its loader shard with a host-local
+    replica of the params (global-mesh params would make the jitted step
+    demand globally-addressable inputs), then per-sample (pred, target, cls,
+    index) rows are gathered across hosts and shard-padding duplicates
+    dropped by index — the reference computes per-RANK mIoU only
+    (``runner_unify_seg.py:300-368`` has no gather; rank 0 reports 1/world
+    of the val set)."""
     variables = state.variables
-    all_preds, all_targets, all_cls = [], [], []
+    if jax.process_count() > 1:
+        from .runner_cls import _host_local_replica
+        local = jax.local_devices()
+        place_mesh = make_mesh(local) if len(local) > 1 else None
+        variables = _host_local_replica(variables, place_mesh)
+    all_preds, all_targets, all_cls, idxs = [], [], [], []
     cat_names = list(SEG_CLASSES.keys())
     label_to_cat = {p: c for c, parts in SEG_CLASSES.items() for p in parts}
     # dispatch a small window ahead, fetching with a lag of FETCH_LAG batches:
@@ -131,17 +144,33 @@ def validate(eval_step, state, loader, epoch, logger=None):
             preds[i] = np.argmax(logits[i][:, parts], axis=1) + parts[0]
         all_preds.append(preds)
 
-    for pts, cls, seg in loader:
+    it = (loader.iter_indexed() if hasattr(loader, "iter_indexed")
+          else ((None, b) for b in loader))
+    for idx, (pts, cls, seg) in it:
         pending.append((eval_step(variables, jnp.asarray(pts),
                                   jnp.asarray(cls)), seg))
         all_targets.append(seg)
         all_cls.append(cls)
+        if idx is not None:
+            idxs.append(idx)
         if len(pending) > FETCH_LAG:
             drain(*pending.pop(0))
     for item in pending:
         drain(*item)
-    m = seg_miou_metrics(np.concatenate(all_preds), np.concatenate(all_targets),
-                         np.concatenate(all_cls), SEG_CLASSES)
+    preds = np.concatenate(all_preds)
+    targets = np.concatenate(all_targets)
+    cls_arr = np.concatenate(all_cls)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        idx = (np.concatenate(idxs) if idxs
+               else np.arange(len(targets), dtype=np.int64))
+        gathered = [np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(a))) for a in (preds, targets, cls_arr, idx)]
+        preds, targets, cls_arr, idx = [
+            a.reshape((-1,) + a.shape[2:]) for a in gathered]
+        _, keep = np.unique(idx, return_index=True)
+        preds, targets, cls_arr = preds[keep], targets[keep], cls_arr[keep]
+    m = seg_miou_metrics(preds, targets, cls_arr, SEG_CLASSES)
     print_log("Epoch %d test Accuracy: %f  Class avg mIOU: %f  "
               "Instance avg mIOU: %f" %
               (epoch, m["accuracy"] * 100, m["class_avg_iou"] * 100,

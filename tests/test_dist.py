@@ -97,6 +97,34 @@ def test_shard_batch_multi_device():
     assert len(p["w"].sharding.device_set) == 4
 
 
+def test_fsdp_shardings_placement_rules():
+    """Leaves below min_size or with no data-divisible dim stay replicated;
+    the largest divisible dim of big leaves is sharded over 'data'."""
+    import jax.numpy as jnp
+
+    from upp_tpu.parallel.mesh import fsdp_shardings, make_mesh
+
+    mesh = make_mesh(jax.devices()[:8])
+    tree = {
+        "small": jnp.zeros((4, 4)),           # < min_size -> replicated
+        "odd": jnp.zeros((129, 201)),         # no dim % 8 == 0 -> replicated
+        "big": jnp.zeros((48, 512)),          # shard dim 1 (largest divisible)
+        "bias": jnp.zeros((4096,)),           # 1-D but large -> shard dim 0
+    }
+    specs = {k: tuple(s.spec) for k, s in
+             fsdp_shardings(mesh, tree, min_size=1024).items()}
+    assert specs["small"] == ()
+    assert specs["odd"] == ()
+    assert specs["big"] == (None, "data")
+    assert specs["bias"] == ("data",)
+
+    # single-data-axis mesh degenerates to replicated everywhere
+    mesh1 = make_mesh(jax.devices()[:1])
+    specs1 = {k: tuple(s.spec) for k, s in
+              fsdp_shardings(mesh1, tree, min_size=1024).items()}
+    assert all(s == () for s in specs1.values())
+
+
 def test_fsdp_pretrain_step_matches_replicated():
     """ZeRO-3 path: the full-param MAE pretrain step with params + Adam
     moments sharded over the 8-device data axis (parallel/mesh.fsdp_shardings)

@@ -400,10 +400,16 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
         return model.apply(variables, points, deterministic=True)
 
     rng = jax.random.key(args.seed + 4242)
-    pending, labels = [], []
+    pending, labels, idxs = [], [], []
     variables = state.variables
+    if jax.process_count() > 1:
+        local = jax.local_devices()
+        variables = _host_local_replica(
+            variables, make_mesh(local) if len(local) > 1 else None)
     vote_idx = 0
-    for pts, label in loader:
+    it = (loader.iter_indexed() if hasattr(loader, "iter_indexed")
+          else ((None, b) for b in loader))
+    for idx, (pts, label) in it:
         pts = jnp.asarray(pts)
         acc_logits = None
         for _ in range(times):
@@ -413,6 +419,21 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
         # keep on device until the sweep ends (per-batch fetch = RT stall)
         pending.append(jnp.argmax(acc_logits, -1))
         labels.append(label)
+        if idx is not None:
+            idxs.append(idx)
     preds = np.concatenate([np.asarray(p) for p in jax.device_get(pending)])
     labels = np.concatenate(labels)
-    return float((preds == labels).mean() * 100.0)
+    hit = preds == labels
+    if jax.process_count() > 1:
+        # gather per-sample hits and drop shard-padding duplicates, as in
+        # validate() (reference test_vote gathers too, runner_module.py:470)
+        from jax.experimental import multihost_utils
+        idx = (np.concatenate(idxs) if idxs
+               else np.arange(len(labels), dtype=np.int64))
+        hit = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(hit))).reshape(-1)
+        idx = np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(idx))).reshape(-1)
+        _, keep = np.unique(idx, return_index=True)
+        hit = hit[keep]
+    return float(hit.mean() * 100.0) if hit.size else 0.0

@@ -224,6 +224,104 @@ _WORKER_TRAIN = textwrap.dedent("""
 """)
 
 
+_WORKER_FSDP = textwrap.dedent("""
+    import os, sys
+    pid, port, ckpt_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.parallel.mesh import (fsdp_shardings, host_local_variables,
+                                       make_mesh, replicate, shard_batch)
+    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train.optim import build_optimizer
+    from upp_tpu.train.runner_pretrain import make_pretrain_step
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    config = ConfigDict.from_nested({
+        "model": {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+                  "loss": "cdl2",
+                  "transformer_config": {
+                      "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 48,
+                      "encoder_dims": 48, "depth": 2, "drop_path_rate": 0.0,
+                      "num_heads": 4, "decoder_depth": 2,
+                      "decoder_num_heads": 4}},
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 10,
+                                                  "initial_epochs": 1}},
+        "npoints": 64, "data_augmentation": "scale-translate"})
+    model = build_model_from_cfg(config.model)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(jit_init(model, rngs, jnp.zeros((2, 96, 3), jnp.float32),
+                              deterministic=False))
+    variables.setdefault("batch_stats", {})
+    tx, _, _ = build_optimizer(config, variables["params"],
+                               steps_per_epoch=10, peft_list=None)
+    # host copies: device_put can alias the source buffers, which the
+    # donated train step would delete out from under the later rebuild
+    pristine = jax.tree_util.tree_map(np.asarray, variables)
+    mesh = make_mesh()
+    with mesh:
+        place = lambda t: jax.device_put(
+            t, fsdp_shardings(mesh, t, min_size=128))
+        state = TrainState(params=place(pristine["params"]),
+                           batch_stats=replicate(mesh, pristine["batch_stats"]),
+                           opt_state=place(tx.init(pristine["params"])),
+                           step=jnp.zeros((), jnp.int32))
+        sharded = [l for l in jax.tree_util.tree_leaves(state.params)
+                   if not l.is_fully_addressable
+                   and not l.sharding.is_fully_replicated]
+        assert sharded, "fsdp placement sharded nothing across hosts"
+        step = make_pretrain_step(model, tx, config)
+        data = np.random.default_rng(7).standard_normal(
+            (16, 96, 3)).astype(np.float32)
+        state, m = step(state, shard_batch(mesh, data[pid * 8:(pid + 1) * 8]),
+                        jax.random.key(5))
+
+        # eval through a host-local replica of the SHARDED params
+        variables_l = host_local_variables(
+            {"params": state.params, "batch_stats": state.batch_stats})
+        feats = model.apply(variables_l, jnp.asarray(data[:4, :64]),
+                            eval_features=True, deterministic=True)
+        f_ck = float(np.abs(np.asarray(feats)).sum())
+
+        # checkpoint the SHARDED state (rank-0 write, collective gather),
+        # then resume into a fresh fsdp-placed state and compare
+        ckpt_io.save_checkpoint(state, 0, "ckpt-fsdp", ckpt_dir, block=False)
+        ckpt_io.wait_for_pending_saves()
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ckpt written")
+        fresh = TrainState(params=place(pristine["params"]),
+                           batch_stats=replicate(mesh, pristine["batch_stats"]),
+                           opt_state=place(tx.init(pristine["params"])),
+                           step=jnp.zeros((), jnp.int32))
+        restored, epoch, _ = ckpt_io.resume_checkpoint(
+            fresh, ckpt_dir, prefix="ckpt-fsdp")
+        restored = restored.replace(params=place(restored.params),
+                                    opt_state=place(restored.opt_state))
+        ck_live = float(sum(
+            np.abs(ckpt_io._gather_leaf(l)).sum()
+            for l in jax.tree_util.tree_leaves(state.params)))
+        ck_rest = float(sum(
+            np.abs(ckpt_io._gather_leaf(l)).sum()
+            for l in jax.tree_util.tree_leaves(restored.params)))
+        # one more step on the RESUMED fsdp state proves the placement is live
+        restored, m2 = step(restored,
+                            shard_batch(mesh, data[pid * 8:(pid + 1) * 8]),
+                            jax.random.key(6))
+        loss2 = float(np.asarray(m2["loss"].addressable_data(0)))
+    print(f"FSDP_RESULT {f_ck:.6f} {ck_live:.6f} {ck_rest:.6f} {loss2:.8f}")
+""")
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -232,7 +330,8 @@ def _free_port():
     return port
 
 
-def _run_two_process(tmp_path, worker_src, prefix="ACC_RESULT"):
+def _run_two_process(tmp_path, worker_src, prefix="ACC_RESULT",
+                     extra_args=()):
     worker = tmp_path / "worker.py"
     worker.write_text(worker_src)
     port = _free_port()
@@ -241,7 +340,8 @@ def _run_two_process(tmp_path, worker_src, prefix="ACC_RESULT"):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
-    procs = [subprocess.Popen([sys.executable, str(worker), str(i), str(port)],
+    procs = [subprocess.Popen([sys.executable, str(worker), str(i), str(port),
+                               *map(str, extra_args)],
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                               text=True, env=env, cwd=os.getcwd())
              for i in range(2)]
@@ -281,6 +381,23 @@ def test_two_process_validate_jitted_multidevice(tmp_path):
     host-local-replica placement (not just the gather)."""
     acc = _run_two_process(tmp_path, _WORKER_JIT)[0]
     np.testing.assert_allclose(acc, _oracle_acc(), atol=1e-4)
+
+
+def test_two_process_fsdp_train_eval_checkpoint_resume(tmp_path):
+    """FSDP (ZeRO-3) across 2 REAL processes: params sharded over the global
+    data axis, one train step, eval through host_local_variables (must
+    allgather the shards, not slice them), checkpoint save (collective gather
+    + synchronous collective orbax write), resume + re-place + another live step. Both processes
+    must agree on every number, and the restored params must equal the live
+    ones."""
+    ckpt_dir = tmp_path / "ckpt"
+    ckpt_dir.mkdir()
+    f_ck, ck_live, ck_rest, loss2 = _run_two_process(
+        tmp_path, _WORKER_FSDP, prefix="FSDP_RESULT",
+        extra_args=[str(ckpt_dir)])
+    np.testing.assert_allclose(ck_rest, ck_live, rtol=1e-7)
+    assert np.isfinite(loss2) and np.isfinite(f_ck)
+    assert (ckpt_dir / "ckpt-fsdp").exists()
 
 
 def test_two_process_pretask_validate_matches_single_process(tmp_path):

@@ -67,6 +67,40 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def host_local_variables(tree):
+    """Host-local copy of a variable tree for per-host (process-local) eval.
+
+    Multi-host validate/probe paths run each host's loader shard through an
+    independently-jitted eval step, so the inputs must be process-local:
+    params committed to the GLOBAL mesh would make jit demand
+    globally-addressable arrays. No-op in single-process runs.
+
+    * replicated leaves (dp training): every host already holds the full
+      value — take it from the first addressable shard;
+    * data-axis-SHARDED leaves (fsdp training): each host holds only its
+      1/n slice, so the full value is assembled with a tiled
+      ``process_allgather`` (a collective — every process must call this at
+      the same point, which validate/probe call sites do).
+
+    The result is re-placed on the local mesh (or local device 0)."""
+    if jax.process_count() == 1:
+        return tree
+    local = jax.local_devices()
+    place_mesh = make_mesh(local) if len(local) > 1 else None
+
+    def local_fn(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.sharding.is_fully_replicated:
+                x = np.asarray(x.addressable_data(0))
+            else:
+                from jax.experimental import multihost_utils
+                x = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return (replicate(place_mesh, x) if place_mesh is not None
+                else jax.device_put(x, local[0]))
+
+    return jax.tree_util.tree_map(local_fn, tree)
+
+
 # ------------------------------------------------------------ fsdp (zero-3)
 
 def fsdp_shardings(mesh: Mesh, tree, min_size: int = 16384):

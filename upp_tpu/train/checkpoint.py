@@ -43,6 +43,20 @@ def _to_numpy(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _gather_leaf(x):
+    """Fetch a leaf to host numpy, assembling non-addressable multi-host
+    arrays: replicated leaves come from the first addressable shard;
+    data-axis-SHARDED leaves (fsdp training) need a tiled process_allgather —
+    a COLLECTIVE, so this must run synchronously on every process (never on
+    the async writer thread)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        if x.sharding.is_fully_replicated:
+            return np.asarray(x.addressable_data(0))
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def wait_for_pending_saves() -> None:
     """Block until every in-flight async checkpoint write has landed.
 
@@ -75,6 +89,20 @@ def save_checkpoint(state: TrainState, epoch: int, prefix: str,
     snap_stats = (jax.tree_util.tree_map(jnp.copy, state.batch_stats)
                   if state.batch_stats else None)
     snap_step = jnp.copy(state.step)  # drives the per-step rng stream
+    if jax.process_count() > 1:
+        # multi-host: fetch synchronously on EVERY process (fsdp-sharded
+        # leaves need a collective allgather, which cannot run on the writer
+        # thread), and force a SYNCHRONOUS orbax save — orbax's save() is
+        # itself a collective (it barriers on 'Checkpointer:save_start' and
+        # writes from the primary host), so all ranks must call it at the
+        # same point; detached writer threads could interleave two pending
+        # saves in different orders across ranks and deadlock the barrier.
+        snap_params = jax.tree_util.tree_map(_gather_leaf, snap_params)
+        snap_opt = [_gather_leaf(x) for x in snap_opt]
+        if snap_stats is not None:
+            snap_stats = jax.tree_util.tree_map(_gather_leaf, snap_stats)
+        snap_step = _gather_leaf(snap_step)
+        block = True
     meta = {"epoch": int(epoch),
             # orbax rejects empty dict nodes — keep a sentinel entry
             "metrics": {str(k): float(v)

@@ -23,7 +23,8 @@ from ..data import BatchLoader, build_dataset_from_cfg
 from ..models import build_model_from_cfg
 from ..ops.fps import fps
 from ..ops.corrupt import normalize_unit_sphere, scale_translate
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
+                             shard_batch)
 from ..utils.logger import get_logger, print_log
 from . import checkpoint as ckpt_io
 from .metrics import AccMetric, AverageMeter, cross_entropy_loss_acc
@@ -144,34 +145,17 @@ def make_eval_step(model, config, args):
     return jax.jit(eval_step)
 
 
-def _host_local_replica(tree, place_mesh):
-    """Host-local copy of a (replicated) variable tree for per-host eval.
-
-    Multi-host validate runs each host's loader shard independently, so the
-    eval computation must be process-local: params committed to the GLOBAL
-    mesh would make jit demand globally-addressable inputs. DP training
-    replicates params, so every host holds a full copy — take it from the
-    first addressable shard and re-place it on the local mesh (or local
-    device 0). Model-parallel (tp) param shardings would need a local
-    all-gather instead; validate is only used by the dp runners."""
-    def local(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            x = np.asarray(x.addressable_data(0))
-        return replicate(place_mesh, x) if place_mesh is not None \
-            else jnp.asarray(x)
-    return jax.tree_util.tree_map(local, tree)
-
-
 def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     preds, labels, idxs = [], [], []
-    variables = state.variables
     # multi-process: each host evaluates its loader shard on its OWN devices
     # (a global-mesh device_put of process-local data is not addressable);
     # the per-sample results are gathered across hosts below.
+    # host_local_variables is a no-op single-process and gather-aware for
+    # fsdp-sharded params (parallel/mesh.py).
+    variables = host_local_variables(state.variables)
     if jax.process_count() > 1:
         local = jax.local_devices()
         place_mesh = make_mesh(local) if len(local) > 1 else None
-        variables = _host_local_replica(variables, place_mesh)
     else:
         place_mesh = mesh
     it = loader.iter_indexed() if hasattr(loader, "iter_indexed") else (
@@ -193,8 +177,12 @@ def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
         preds = np.concatenate([np.asarray(p) for p in jax.device_get(preds)])
     labels = np.concatenate(labels)
     hit = (preds == labels)
+    # synthetic fallback indices must be globally unique — identical
+    # per-host aranges would make the post-gather dedup keep only one
+    # host's shard
     idx = (np.concatenate(idxs) if idxs
-           else np.arange(len(labels), dtype=np.int64))
+           else np.arange(len(labels), dtype=np.int64)
+           + jax.process_index() * (np.int64(1) << 40))
     if jax.process_count() > 1:
         # gather per-sample (hit, index) pairs across hosts (the reference's
         # dist_utils.gather_tensor); shard padding keeps sizes equal
@@ -324,7 +312,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 train_writer.add_scalar("Loss/Batch/LR", lr_epoch, n_itr)
 
         for batch_idx, (pts, label) in enumerate(train_loader):
-            batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(label)))
+            # loader arrays go to shard_batch as host numpy: a jnp.asarray
+            # here would add a device round trip before the multi-process
+            # global-batch assembly (and an extra reshard single-process)
+            batch = shard_batch(mesh, (pts, np.asarray(label)))
             state, m = train_step(state, batch[0], batch[1], rng)
             pending.append((batch_idx, m))
             if len(pending) > FETCH_LAG:
@@ -401,11 +392,7 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
 
     rng = jax.random.key(args.seed + 4242)
     pending, labels, idxs = [], [], []
-    variables = state.variables
-    if jax.process_count() > 1:
-        local = jax.local_devices()
-        variables = _host_local_replica(
-            variables, make_mesh(local) if len(local) > 1 else None)
+    variables = host_local_variables(state.variables)
     vote_idx = 0
     it = (loader.iter_indexed() if hasattr(loader, "iter_indexed")
           else ((None, b) for b in loader))
@@ -429,7 +416,8 @@ def test_vote(model, state, loader, config, args, times: int = 10, logger=None):
         # validate() (reference test_vote gathers too, runner_module.py:470)
         from jax.experimental import multihost_utils
         idx = (np.concatenate(idxs) if idxs
-               else np.arange(len(labels), dtype=np.int64))
+               else np.arange(len(labels), dtype=np.int64)
+               + jax.process_index() * (np.int64(1) << 40))
         hit = np.asarray(multihost_utils.process_allgather(
             jnp.asarray(hit))).reshape(-1)
         idx = np.asarray(multihost_utils.process_allgather(

@@ -23,7 +23,8 @@ from ..ops.chamfer import chamfer_l1, chamfer_l2
 from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
                            scale_translate, separate_point_cloud)
 from ..ops.fps import fps
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
+                             shard_batch)
 from ..utils.logger import get_logger, print_log
 from . import checkpoint as ckpt_io
 from .metrics import AverageMeter, CDMetric, Metrics, completion_metrics
@@ -157,15 +158,9 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     """CD meters over the val loader; ``in_detail`` sweeps all 8 viewpoints.
     The per-taxonomy Metrics table lives in ``validate_detailed``."""
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
-    variables = state.variables
-    if jax.process_count() > 1:
-        # host-local eval over this host's loader shard (global-mesh params
-        # would make the jitted step demand globally-addressable inputs)
-        from .runner_cls import _host_local_replica
-        from ..parallel.mesh import make_mesh as _make_mesh
-        local = jax.local_devices()
-        variables = _host_local_replica(
-            variables, _make_mesh(local) if len(local) > 1 else None)
+    # host-local eval over this host's loader shard (no-op single-process,
+    # gather-aware for fsdp-sharded params; parallel/mesh.py)
+    variables = host_local_variables(state.variables)
     viewpoints = VIEWPOINTS_8 if in_detail else VIEWPOINTS_8[:1]
     pending = []   # fetch once after the sweep (per-batch fetch = RT stall)
     for batch in loader:
@@ -309,7 +304,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         t0 = time.time()
         pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for batch in train_loader:
-            gt = shard_batch(mesh, jnp.asarray(batch[0]))
+            gt = shard_batch(mesh, np.asarray(batch[0]))
             state, m = train_step(state, gt, rng)
             pending.append(m)
         for m in jax.device_get(pending):

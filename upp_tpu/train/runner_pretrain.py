@@ -17,7 +17,8 @@ from ..data import BatchLoader, build_dataset_from_cfg
 from ..models import build_model_from_cfg
 from ..ops.corrupt import rotate_y, scale_translate
 from ..ops.fps import fps
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
+                             shard_batch)
 from ..utils.logger import get_logger, print_log
 from . import checkpoint as ckpt_io
 from .metrics import AccMetric, AverageMeter
@@ -70,15 +71,10 @@ def svm_probe(model, state, train_loader, val_loader, npoints: int,
 
     # multi-host: each host featurises its own loader shard with a host-local
     # replica of the params (global-mesh params would make jit demand
-    # globally-addressable inputs), then features are gathered across hosts
-    # before the fit — the reference gathers rank features the same way
-    # (``runner_pretrain.py:245-249``).
-    variables = state.variables
-    if jax.process_count() > 1:
-        from .runner_cls import _host_local_replica
-        local = jax.local_devices()
-        lmesh = make_mesh(local) if len(local) > 1 else None
-        variables = _host_local_replica(variables, lmesh)
+    # globally-addressable inputs; gather-aware for fsdp-sharded params),
+    # then features are gathered across hosts before the fit — the reference
+    # gathers rank features the same way (``runner_pretrain.py:245-249``).
+    variables = host_local_variables(state.variables)
 
     def collect(loader):
         X, y = [], []
@@ -171,6 +167,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
         state, start_epoch, saved = ckpt_io.resume_checkpoint(
             state, args.experiment_path, logger=logger)
         best = AccMetric(saved.get("acc", 0.0))
+        # re-establish the intended placement: resume hands back host arrays,
+        # which would silently drop the ZeRO-3 sharding (full params + full
+        # Adam moments back on every chip)
+        state = state.replace(params=place(state.params),
+                              opt_state=place(state.opt_state),
+                              batch_stats=replicate(mesh, state.batch_stats))
 
     train_step = make_pretrain_step(model, tx, config)
     rng = jax.random.key(args.seed + 777)
@@ -182,7 +184,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
         t0 = time.time()
         pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for batch in train_loader:
-            pts = shard_batch(mesh, jnp.asarray(batch[0]))
+            pts = shard_batch(mesh, np.asarray(batch[0]))
             state, m = train_step(state, pts, rng)
             pending.append(m)
         for m in jax.device_get(pending):

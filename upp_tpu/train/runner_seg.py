@@ -19,7 +19,8 @@ from ..data.partnormal import SEG_CLASSES
 from ..models import build_model_from_cfg
 from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
                            scale_translate, separate_point_cloud)
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
+                             shard_batch)
 from ..utils.logger import get_logger, print_log
 from . import checkpoint as ckpt_io
 from .metrics import AverageMeter, nll_seg_loss, seg_miou_metrics
@@ -120,12 +121,7 @@ def validate(eval_step, state, loader, epoch, logger=None):
     dropped by index — the reference computes per-RANK mIoU only
     (``runner_unify_seg.py:300-368`` has no gather; rank 0 reports 1/world
     of the val set)."""
-    variables = state.variables
-    if jax.process_count() > 1:
-        from .runner_cls import _host_local_replica
-        local = jax.local_devices()
-        place_mesh = make_mesh(local) if len(local) > 1 else None
-        variables = _host_local_replica(variables, place_mesh)
+    variables = host_local_variables(state.variables)
     all_preds, all_targets, all_cls, idxs = [], [], [], []
     cat_names = list(SEG_CLASSES.keys())
     label_to_cat = {p: c for c, parts in SEG_CLASSES.items() for p in parts}
@@ -162,8 +158,11 @@ def validate(eval_step, state, loader, epoch, logger=None):
     cls_arr = np.concatenate(all_cls)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
+        # synthetic fallback indices offset per process so dedup keeps
+        # every host's shard
         idx = (np.concatenate(idxs) if idxs
-               else np.arange(len(targets), dtype=np.int64))
+               else np.arange(len(targets), dtype=np.int64)
+               + jax.process_index() * (np.int64(1) << 40))
         gathered = [np.asarray(multihost_utils.process_allgather(
             jnp.asarray(a))) for a in (preds, targets, cls_arr, idx)]
         preds, targets, cls_arr, idx = [
@@ -244,8 +243,8 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
         t0 = time.time()
         pending = []  # fetch once per epoch, keep the dispatch pipeline full
         for pts, cls, seg in train_loader:
-            batch = shard_batch(mesh, (jnp.asarray(pts), jnp.asarray(cls),
-                                       jnp.asarray(seg)))
+            batch = shard_batch(mesh, (np.asarray(pts), np.asarray(cls),
+                                       np.asarray(seg)))
             state, m = train_step(state, batch[0], batch[1], batch[2], rng)
             pending.append(m)
         for m in jax.device_get(pending):

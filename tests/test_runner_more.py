@@ -62,6 +62,27 @@ def test_pretrain_runner_and_svm_probe(tmp_path):
     assert 0.0 <= acc <= 100.0
 
 
+def test_hyperparam_probing_dry_run():
+    """The sweep driver builds one command per (lr, prompt_num) grid point
+    with --peft_model (the reference passed a nonexistent --peft flag,
+    SURVEY.md §2.7) and leaves no temp configs behind."""
+    import glob
+    import subprocess
+    import sys
+
+    before = set(glob.glob("cfgs/*.yaml"))
+    out = subprocess.run(
+        [sys.executable, "hyperparam_probing.py", "--dry_run",
+         "--lrs", "0.001", "0.0005", "--prompt_nums", "5"],
+        capture_output=True, text=True, cwd=os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr
+    cmds = [l for l in out.stdout.splitlines() if l.startswith("->")]
+    assert len(cmds) == 2
+    assert all("--peft_model" in c and "--peft " not in c for c in cmds)
+    assert set(glob.glob("cfgs/*.yaml")) == before
+
+
 def test_pretrain_runner_fsdp_cfg(tmp_path):
     """cfg `fsdp: true` routes the pretrain state through fsdp_shardings
     (ZeRO-3) and the loop still trains + checkpoints on a multi-device mesh."""

@@ -161,7 +161,7 @@ def validate(eval_step, state, loader, mesh, epoch, logger=None) -> AccMetric:
     it = loader.iter_indexed() if hasattr(loader, "iter_indexed") else (
         (None, b) for b in loader)
     for idx, (pts, label) in it:
-        pts_d = shard_batch(place_mesh, jnp.asarray(pts)) \
+        pts_d = shard_batch(place_mesh, np.asarray(pts)) \
             if place_mesh is not None and pts.shape[0] % place_mesh.size == 0 \
             else jnp.asarray(pts)
         # keep predictions on device until the end of the sweep: a per-batch

@@ -37,6 +37,17 @@ AUGMENTATIONS = {
     "hflip": random_horizontal_flip,
 }
 
+def resolve_augmentation(name):
+    """Config key -> jittable transform; unknown names fail at step-build
+    time instead of silently training without augmentation."""
+    if not name or name == "none":
+        return None
+    if name not in AUGMENTATIONS:
+        raise ValueError(f"unknown data_augmentation {name!r}; "
+                         f"known: {sorted(AUGMENTATIONS)}")
+    return AUGMENTATIONS[name]
+
+
 GAUSSIAN_NOISE_NUMBER = 24
 LIDAR_NOISE_NUMBER = 48
 

@@ -20,8 +20,8 @@ import optax
 
 from ..data import BatchLoader, build_dataset_from_cfg
 from ..ops.chamfer import chamfer_l1, chamfer_l2
-from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
-                           scale_translate, separate_point_cloud)
+from ..ops.corrupt import (gaussian_shell_noise, lidar_noise,
+                           separate_point_cloud)
 from ..ops.fps import fps
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
@@ -61,17 +61,16 @@ VIEWPOINTS_8 = [(1, 1, 1), (1, 1, -1), (1, -1, 1), (-1, 1, 1),
 def make_pretask_train_step(model, tx, config, args):
     npoints = int(config.npoints)
     n_pts_ds = int(config.dataset.train._base_.N_POINTS)
-    aug = config.get("data_augmentation", None)
+    from .pipeline import resolve_augmentation
+    aug_fn = resolve_augmentation(config.get("data_augmentation", None))
     add_noise = bool(getattr(args, "noise", True))
     noise_types = tuple(getattr(args, "noise_type",
                                 ("gaussian_noise", "lidar_noise")))
 
     def train_step(state: TrainState, gt, rng):
         ks = jax.random.split(jax.random.fold_in(rng, state.step), 8)
-        if aug == "rotate":
-            gt = rotate_y(ks[0], gt)
-        elif aug == "scale-translate":
-            gt = scale_translate(ks[0], gt)
+        if aug_fn is not None:
+            gt = aug_fn(ks[0], gt)
 
         # random crop ratio in [0.15N, 0.5N] per step (runner_pretask.py:179-183)
         num_crop = jax.random.randint(ks[1], (), int(n_pts_ds * 0.15),

@@ -15,7 +15,6 @@ import optax
 
 from ..data import BatchLoader, build_dataset_from_cfg
 from ..models import build_model_from_cfg
-from ..ops.corrupt import rotate_y, scale_translate
 from ..ops.fps import fps
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
@@ -28,15 +27,15 @@ from .state import TrainState
 
 def make_pretrain_step(model, tx, config):
     npoints = int(config.npoints)
-    aug = config.get("data_augmentation", "scale-translate")
+    from .pipeline import resolve_augmentation
+    aug_fn = resolve_augmentation(
+        config.get("data_augmentation", "scale-translate"))
 
     def train_step(state: TrainState, pts, rng):
         ks = jax.random.split(jax.random.fold_in(rng, state.step), 4)
         points, _ = fps(pts, npoints)
-        if aug == "rotate":
-            points = rotate_y(ks[0], points)
-        elif aug == "scale-translate":
-            points = scale_translate(ks[0], points)
+        if aug_fn is not None:
+            points = aug_fn(ks[0], points)
 
         def loss_fn(params):
             loss, mut = model.apply(

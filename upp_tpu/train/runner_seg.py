@@ -17,8 +17,8 @@ import optax
 from ..data import BatchLoader, build_dataset_from_cfg
 from ..data.partnormal import SEG_CLASSES
 from ..models import build_model_from_cfg
-from ..ops.corrupt import (gaussian_shell_noise, lidar_noise, rotate_y,
-                           scale_translate, separate_point_cloud)
+from ..ops.corrupt import (gaussian_shell_noise, lidar_noise,
+                           separate_point_cloud)
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
 from ..utils.logger import get_logger, print_log
@@ -42,17 +42,16 @@ def to_categorical(y: jnp.ndarray, num_classes: int = NUM_CLASSES) -> jnp.ndarra
 def make_seg_train_step(model, tx, config, args, unify: bool):
     n_pts_ds = int(config.dataset.train._base_.N_POINTS)
     num_crop = int(n_pts_ds * 0.25)
-    aug = config.get("data_augmentation", None)
+    from .pipeline import resolve_augmentation
+    aug_fn = resolve_augmentation(config.get("data_augmentation", None))
     noisy = bool(config.get("noisy_train", False))
     deviation = float(getattr(args, "deviation", 0.1))
     noise_radius = float(getattr(args, "noise_radius", 0.8))
 
     def train_step(state: TrainState, pts, cls_label, target, rng):
         ks = jax.random.split(jax.random.fold_in(rng, state.step), 6)
-        if aug == "rotate":
-            pts = rotate_y(ks[0], pts)
-        elif aug == "scale-translate":
-            pts = scale_translate(ks[0], pts)
+        if aug_fn is not None:
+            pts = aug_fn(ks[0], pts)
         gt_points = pts
         one_hot = to_categorical(cls_label)
 

@@ -140,6 +140,54 @@ def test_joint_switch_preserves_optimizer_moments():
                                pa.detach().numpy(), rtol=1e-6, atol=1e-7)
 
 
+def test_step_per_update_grad_accumulation():
+    """config.step_per_update > 1 reproduces the reference's accumulation
+    (runner_module.py:199-207): micro-grads are SUMMED; every k-th call the
+    real chain (clip first) runs on the sum, other calls emit zero updates;
+    Adam moments/step counts advance only on real steps."""
+    from upp_tpu.train.optim import build_optimizer
+
+    cfg = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "function", "kwargs": {}},
+        "grad_norm_clip": 10.0,
+        "step_per_update": 3,
+    })
+    params = {"w": jnp.ones((4, 8)), "b": jnp.zeros((8,))}
+    tx, _, _ = build_optimizer(cfg, params, steps_per_epoch=1, peft_list=None)
+    cfg_plain = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 1e-3,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "function", "kwargs": {}},
+        "grad_norm_clip": 10.0,
+    })
+    tx_plain, _, _ = build_optimizer(cfg_plain, params, steps_per_epoch=1,
+                                     peft_list=None)
+
+    gs = [jax.tree_util.tree_map(
+        lambda x, i=i: jnp.full_like(x, 0.1 * (i + 1)), params)
+        for i in range(3)]
+
+    state = tx.init(params)
+    for i, g in enumerate(gs):
+        updates, state = tx.update(g, state, params)
+        flat = jax.tree_util.tree_leaves(updates)
+        if i < 2:   # micro-steps: zero updates, params unchanged
+            assert all(float(jnp.abs(u).max()) == 0.0 for u in flat), i
+    # 3rd call: equals one plain step on the SUMMED grads
+    g_sum = jax.tree_util.tree_map(lambda a, b, c: a + b + c, *gs)
+    want, _ = tx_plain.update(g_sum, tx_plain.init(params), params)
+    for u, w in zip(jax.tree_util.tree_leaves(updates),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(w), rtol=1e-6)
+
+    # and the cycle repeats: next two calls are zero again
+    updates, state = tx.update(gs[0], state, params)
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree_util.tree_leaves(updates))
+
+
 def test_joint_switch_non_adamw_needs_state_reinit():
     """Adam/SGD go through optax.multi_transform whose state STRUCTURE follows
     the trainable mask — swapping the transform while keeping the old state

@@ -110,8 +110,10 @@ def test_peft_run_net_trains_and_freezes_backbone(tmp_path):
 
 def test_clean_path_run_net(tmp_path):
     """noisy_train=False branch: FPS-subsample pipeline + downstream-only pass
-    (regression for the clean-path program)."""
+    (regression for the clean-path program). Also runs with
+    step_per_update=2 to cover gradient accumulation end-to-end."""
     config = tiny_config(tmp_path, noisy=False, max_epoch=1)
+    config.step_per_update = 2
     args = tiny_args(tmp_path)
     best = runner_cls.run_net(args, config)
     assert best.acc >= 0.0

@@ -199,6 +199,50 @@ def masked_adamw(sched, weight_decay: float, decay_mask, train_mask,
     return optax.GradientTransformation(init, update)
 
 
+class _AccumState(NamedTuple):
+    inner: Any
+    acc: Any
+    count: Any
+
+
+def accumulate_every(tx, k: int):
+    """Gradient accumulation with the reference's exact semantics
+    (``tools/runner_module.py:199-207``): micro-step gradients are SUMMED
+    (never averaged), and every k-th call the wrapped transform — whose chain
+    starts with global-norm clip — runs on the accumulated sum; other calls
+    emit zero updates. Inner optimizer state (Adam moment/step counts) only
+    advances on real steps, like torch's optimizer.step()."""
+    if k <= 1:
+        return tx
+
+    def init_fn(params):
+        return _AccumState(inner=tx.init(params),
+                           acc=jax.tree_util.tree_map(jnp.zeros_like, params),
+                           count=jnp.zeros((), jnp.int32))
+
+    def update_fn(grads, state, params=None):
+        acc = jax.tree_util.tree_map(jnp.add, state.acc, grads)
+        count = state.count + 1
+
+        def do_step(operands):
+            acc, inner = operands
+            updates, inner2 = tx.update(acc, inner, params)
+            return (updates,
+                    jax.tree_util.tree_map(jnp.zeros_like, acc),
+                    inner2, jnp.zeros((), jnp.int32))
+
+        def skip(operands):
+            acc, inner = operands
+            return (jax.tree_util.tree_map(jnp.zeros_like, acc),
+                    acc, inner, count)
+
+        updates, acc2, inner2, count2 = jax.lax.cond(
+            count >= k, do_step, skip, (acc, state.inner))
+        return updates, _AccumState(inner=inner2, acc=acc2, count=count2)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(config, params, steps_per_epoch: int,
                     peft_list: Optional[Sequence[str]] = None):
     """(optax transform, schedule fn, trainable-mask pytree).
@@ -215,12 +259,14 @@ def build_optimizer(config, params, steps_per_epoch: int,
     mask = trainable_mask(params, peft_list)
     clip = config.get("grad_norm_clip")
 
+    accum_k = int(config.get("step_per_update", 1) or 1)
+
     if opti_cfg.type == "AdamW":
         chain = [_zero_frozen(mask)]
         if clip is not None:
             chain.append(optax.clip_by_global_norm(float(clip)))
         chain.append(masked_adamw(sched, wd, weight_decay_mask(params), mask))
-        return optax.chain(*chain), sched, mask
+        return accumulate_every(optax.chain(*chain), accum_k), sched, mask
 
     if opti_cfg.type == "Adam":
         inner = optax.adam(learning_rate=sched)
@@ -242,7 +288,7 @@ def build_optimizer(config, params, steps_per_epoch: int,
     tx = optax.multi_transform(
         {"trainable": optax.chain(*chain), "frozen": optax.set_to_zero()},
         labels)
-    return tx, sched, mask
+    return accumulate_every(tx, accum_k), sched, mask
 
 
 def count_params(params, mask=None):

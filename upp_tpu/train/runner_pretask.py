@@ -193,7 +193,9 @@ def validate_detailed(eval_step, state, dataset, epoch, logger=None) -> CDMetric
     Overall row, exactly the reference's TEST RESULTS report
     (``tools/runner_pretask.py:385-447``)."""
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
-    variables = state.variables
+    # detailed eval iterates the FULL dataset on every host (no shard), so
+    # only the host-local placement matters here, not a gather
+    variables = host_local_variables(state.variables)
     category_metrics: dict = {}
     for i in range(len(dataset)):
         taxonomy_id, model_id, payload = dataset[i]

@@ -295,3 +295,196 @@ def test_pretrain_forward_parity(monkeypatch, tmp_path):
                          rngs={"dropout": jax.random.key(9),
                                "droppath": jax.random.key(8)})
     np.testing.assert_allclose(float(f_loss), t_loss, rtol=1e-4, atol=1e-6)
+
+
+# --------------------------------------------------------- full-FT baseline
+
+TINY_PT = {
+    "NAME": "PointTransformer", "trans_dim": 48, "depth": 2,
+    "drop_path_rate": 0.0, "cls_dim": 4, "num_heads": 4,
+    "group_size": 8, "num_group": 16, "encoder_dims": 48,
+}
+PT_EPOCHS = 16
+
+
+def _cls_data(seed=11):
+    """Learnable 4-class clouds (per-class prototype + jitter)."""
+    rng = np.random.default_rng(seed)
+    protos = rng.standard_normal((4, 512, 3)).astype(np.float32)
+
+    def sample(n):
+        labels = rng.integers(0, 4, n)
+        pts = np.empty((n, N_PTS, 3), np.float32)
+        for i, c in enumerate(labels):
+            sel = rng.choice(512, N_PTS, replace=False)
+            pts[i] = protos[c, sel] + 0.02 * rng.standard_normal(
+                (N_PTS, 3)).astype(np.float32)
+        return pts, labels.astype(np.int64)
+
+    train = [sample(B) for _ in range(PT_EPOCHS * STEPS_PER_EPOCH)]
+    return train, sample(64)
+
+
+def _build_pt_pair(monkeypatch, tmp_path):
+    import torch.nn as tnn
+    from flax import linen as fnn
+
+    ns = load_reference_mae()
+    torch.manual_seed(0)
+    tm = ns["PointTransformer"](RefCfg(TINY_PT))
+    _randomize_weights(tm, seed=3)
+    randomize_bn_stats(tm, seed=4)
+    for m in tm.modules():            # dropout RNGs can't be synchronised
+        if isinstance(m, tnn.Dropout):
+            m.p = 0.0
+
+    path = _export(tmp_path, tm)
+    fm = build_model_from_cfg(ConfigDict.from_nested(TINY_PT))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(fm, rngs, jnp.zeros((2, N_PTS, 3), jnp.float32),
+                              deterministic=True))
+    variables.setdefault("batch_stats", {})
+    variables, missing, unexpected = load_into_variables(
+        variables, load_torch_state_dict(path))
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+
+    monkeypatch.setattr(fnn.Dropout, "__call__",
+                        lambda self, x, deterministic=None, rng=None: x)
+    from upp_tpu.models import scan_blocks
+    monkeypatch.setattr(scan_blocks, "_dropout",
+                        lambda x, rate, rng, deterministic, salt=0: x)
+    return tm, fm, variables
+
+
+def test_pointtransformer_forward_parity(monkeypatch, tmp_path):
+    """Full-FT baseline (M15): eval- and train-mode logits match torch
+    through the ckpt shim — the plain block stacks' param tree must be
+    exactly the reference ViT's."""
+    tm, fm, variables = _build_pt_pair(monkeypatch, tmp_path)
+    params = jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(jnp.asarray, variables["batch_stats"])
+    pts = _cls_data()[1][0][:8]
+
+    tm.eval()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(pts)).numpy()
+    f_out = np.asarray(fm.apply({"params": params, "batch_stats": stats},
+                                jnp.asarray(pts), deterministic=True))
+    np.testing.assert_allclose(f_out, t_out, rtol=1e-3, atol=5e-4)
+
+    tm.train()
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(pts)).numpy()
+    f_out, _ = fm.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(pts), deterministic=False,
+                        mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.key(9),
+                              "droppath": jax.random.key(8)})
+    np.testing.assert_allclose(np.asarray(f_out), t_out, rtol=1e-3, atol=5e-3)
+
+
+def test_16_epoch_finetune_equivalence(monkeypatch, tmp_path):
+    """FULL fine-tuning horizon (the --finetune_model path, runner_finetune):
+    every param trainable, CE loss, clip 10, per-epoch timm CosLR — torch and
+    UPP-TPU loss curves must track and final eval accuracy must match."""
+    import optax
+
+    CLIP = 10.0
+    FT_LR = 5e-4    # the finetune configs' LR; full-FT at 1e-3 amplifies f32
+                    # drift chaotically (every param trains, FPS picks flip)
+    train_batches, (eval_pts, eval_lab) = _cls_data()
+    tm, fm, variables = _build_pt_pair(monkeypatch, tmp_path)
+    opt = _torch_adamw(tm)
+
+    def timm_lr(epoch):
+        lr_min = warmup_init = 1e-6
+        if epoch < WARMUP:
+            return warmup_init + (FT_LR - warmup_init) * epoch / WARMUP
+        t = min(epoch / PT_EPOCHS, 1.0)
+        return lr_min + 0.5 * (FT_LR - lr_min) * (1.0 + np.cos(np.pi * t))
+
+    t_losses = []
+    for epoch in range(PT_EPOCHS):
+        for g in opt.param_groups:
+            g["lr"] = timm_lr(epoch)
+        tm.train()
+        ep = []
+        for s in range(STEPS_PER_EPOCH):
+            pts, lab = train_batches[epoch * STEPS_PER_EPOCH + s]
+            loss = torch.nn.functional.cross_entropy(
+                tm(torch.from_numpy(pts)), torch.from_numpy(lab))
+            opt.zero_grad(set_to_none=True)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP, norm_type=2)
+            opt.step()
+            ep.append(float(loss))
+        t_losses.append(float(np.mean(ep)))
+    tm.eval()
+    with torch.no_grad():
+        t_acc = float((tm(torch.from_numpy(eval_pts)).argmax(-1).numpy()
+                       == eval_lab).mean() * 100)
+
+    config = ConfigDict.from_nested({
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": FT_LR,
+                                                  "weight_decay": WD}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": PT_EPOCHS,
+                                                  "initial_epochs": WARMUP}},
+        "grad_norm_clip": CLIP,
+    })
+    tx, _, _ = build_optimizer(config, variables["params"],
+                               steps_per_epoch=STEPS_PER_EPOCH, peft_list=None)
+
+    def loss_fn(p, stats, pts, lab):
+        logits, mut = fm.apply(
+            {"params": p, "batch_stats": stats}, pts, deterministic=False,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(9), "droppath": jax.random.key(8)})
+        return (optax.softmax_cross_entropy_with_integer_labels(
+            logits, lab).mean(), mut["batch_stats"])
+
+    @jax.jit
+    def step(p, stats, o, pts, lab):
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(p, stats, pts, lab)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), stats, o, loss
+
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    f_losses = []
+    for epoch in range(PT_EPOCHS):
+        ep = []
+        for s in range(STEPS_PER_EPOCH):
+            pts, lab = train_batches[epoch * STEPS_PER_EPOCH + s]
+            params, stats, opt_state, loss = step(
+                params, stats, opt_state, jnp.asarray(pts),
+                jnp.asarray(lab.astype(np.int32)))
+            ep.append(float(loss))
+        f_losses.append(float(np.mean(ep)))
+
+    @jax.jit
+    def eval_logits(p, stats, pts):
+        return fm.apply({"params": p, "batch_stats": stats}, pts,
+                        deterministic=True)
+
+    f_acc = float((np.argmax(np.asarray(eval_logits(
+        params, stats, jnp.asarray(eval_pts))), -1) == eval_lab).mean() * 100)
+
+    t_arr, f_arr = np.asarray(t_losses), np.asarray(f_losses)
+    print("\ntorch epoch losses:", np.round(t_arr, 4).tolist())
+    print("flax  epoch losses:", np.round(f_arr, 4).tolist())
+    print(f"final OA: torch={t_acc:.2f}  upp-tpu={f_acc:.2f}")
+    # epochs 0-1 (16 compounding steps) are where semantics bugs surface at
+    # the 1e-3 level (schedule off-by-one, decay grouping, BN update); from
+    # epoch 2 full-FT drift is chaotic — EVERY param trains, so f32 noise
+    # flips FPS picks and the CE-on-8-samples loss amplifies it in both
+    # directions (measured: sign-alternating 3-7%; the smooth-loss MAE
+    # horizon with the identical optimizer tracks to 2.5% median).
+    np.testing.assert_allclose(f_arr[:2], t_arr[:2], rtol=5e-3, atol=2e-3)
+    rel = np.abs(f_arr - t_arr) / np.maximum(np.abs(t_arr), 1e-3)
+    assert np.median(rel) < 0.08, (np.median(rel),)
+    assert rel.max() < 0.25, (rel.max(), rel.argmax())
+    assert t_arr[-1] < 0.5 * t_arr[0]      # full FT learns fast
+    assert f_arr[-1] < 0.5 * f_arr[0]
+    assert abs(t_acc - f_acc) <= 5.0, (t_acc, f_acc)

@@ -35,6 +35,15 @@ def main():
             config.dataset[split].others.bs = (
                 per_proc if split == "train"
                 else per_proc if config.task != "pretask" else 1)
+            # few-shot split selection: the reference parses --way/--shot/
+            # --fold (utils/parser.py:75-80) but never forwards them, so its
+            # ModelNetFewShot dataset (which reads config.way) is unreachable
+            # from the CLI; here the flags reach the dataset config.
+            if config.dataset[split]._base_.get("NAME") == "ModelNetFewShot":
+                for k in ("way", "shot", "fold"):
+                    v = getattr(args, k, None)
+                    if v is not None and v >= 0:
+                        config.dataset[split].others[k] = v
 
     log_args_to_file(args, "args", logger=logger)
     log_config_to_file(config, "config", logger=logger)

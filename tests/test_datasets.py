@@ -269,3 +269,59 @@ def test_io_ascii_ply(tmp_path):
     pts = IO.get(str(ply))
     assert pts.shape == (3, 3)
     np.testing.assert_allclose(pts[1], [1, 0, 0])
+
+
+def test_few_shot_cli_flags_reach_dataset(modelnet_root, tmp_path):
+    """--way/--shot/--fold reach the ModelNetFewShot dataset config through
+    main.py (the reference parses the flags but never forwards them, so its
+    few-shot dataset is unreachable from the CLI)."""
+    import subprocess
+    import sys
+
+    import yaml
+
+    from upp_tpu.data.generate_few_shot import generate
+
+    out = str(tmp_path / "fewshot")
+    generate(modelnet_root, out, way=2, shot=1, folds=1, npoints=64)
+    ds_base = {"NAME": "ModelNetFewShot", "DATA_PATH": out, "N_POINTS": 64}
+    cfg = {
+        "optimizer": {"type": "AdamW", "kwargs": {"lr": 5e-4,
+                                                  "weight_decay": 0.05}},
+        "scheduler": {"type": "CosLR", "kwargs": {"epochs": 2,
+                                                  "initial_epochs": 0}},
+        "dataset": {s: {"_base_": dict(ds_base),
+                        "others": {"subset": "train" if s == "train"
+                                   else "test"}}
+                    for s in ("train", "val", "test")},
+        "model": {"NAME": "PointTransformer", "trans_dim": 48, "depth": 2,
+                  "drop_path_rate": 0.1, "cls_dim": 2, "num_heads": 4,
+                  "group_size": 8, "num_group": 16, "encoder_dims": 48},
+        "npoints": 32, "total_bs": 2, "step_per_update": 1, "max_epoch": 0,
+        "task": "classification", "noisy_train": False,
+        "noisy_validate": False, "grad_norm_clip": 10,
+    }
+    cfg_path = tmp_path / "fewshot_cls.yaml"
+    yaml.dump(cfg, open(cfg_path, "w"))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    # force the CPU backend in-Python: the session sitecustomize pins the
+    # tunneled TPU platform and ignores JAX_PLATFORMS (verify-skill gotcha)
+    launcher = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import runpy, sys; sys.argv = sys.argv[1:];"
+        "runpy.run_path(sys.argv[0], run_name='__main__')")
+    r = subprocess.run(
+        [sys.executable, "-c", launcher,
+         os.path.join(repo, "main.py"), "--finetune_model",
+         "--config", str(cfg_path), "--exp_name", "fs",
+         "--way", "2", "--shot", "1", "--fold", "0"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    # the run trained on the 2way_1shot/0.pkl split and checkpointed
+    exp = list(tmp_path.glob("experiments/**/ckpt-last"))
+    assert exp, r.stdout[-2000:]

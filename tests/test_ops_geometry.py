@@ -165,3 +165,28 @@ def test_fps_pallas_emitted_coords_and_grads():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_group_points_valid_mask_knn():
+    """group_points(valid=...) must honor the mask in the kNN stage too:
+    invalid (padded) slots sitting right next to a center must never enter
+    the neighborhood while enough valid points exist."""
+    from upp_tpu.ops.group import group_points
+
+    rng = np.random.default_rng(5)
+    B, N = 3, 120
+    pts = np.asarray(rng.standard_normal((B, N, 3)), np.float32)
+    valid = np.ones((B, N), bool)
+    valid[:, 96:] = False
+    pts[:, 96:] = pts[:, :24]        # invalid slots DUPLICATE real points:
+    # coincident with valid ones, they'd win ties / enter every neighborhood
+    g = group_points(jnp.asarray(pts), 16, 8, valid=jnp.asarray(valid))
+    idx = np.asarray(g.idx)
+    assert idx.max() < 96, f"invalid slot selected: {idx.max()}"
+    assert np.asarray(g.center_idx).max() < 96
+    # neighborhoods carry real (center-relative) coordinates
+    abs_nb = np.asarray(g.neighborhood) + np.asarray(g.center)[:, :, None, :]
+    np.testing.assert_allclose(           # (a-c)+c f32 round-trip noise
+        abs_nb, np.take_along_axis(pts, idx.reshape(B, -1, 1), 1)
+        .reshape(abs_nb.shape), rtol=1e-5, atol=1e-6)

@@ -181,7 +181,7 @@ def nn_both(x: jnp.ndarray, y: jnp.ndarray,
 def use_pallas_chamfer() -> bool:
     if os.environ.get("UPP_FORCE_PALLAS_CHAMFER"):   # tests: interpret on CPU
         return True
-    return (jax.default_backend() != "cpu"
+    return (jax.default_backend() == "tpu"
             and not os.environ.get("UPP_DISABLE_PALLAS_CHAMFER"))
 
 

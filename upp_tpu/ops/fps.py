@@ -62,7 +62,7 @@ def fps(xyz: jnp.ndarray, n_samples: int,
       (sampled [B, n_samples, 3] same dtype as xyz, idx [B, n_samples] int32)
     """
     import os
-    if (jax.default_backend() != "cpu"
+    if (jax.default_backend() == "tpu"
             and not os.environ.get("UPP_DISABLE_PALLAS_FPS")):
         from .fps_pallas import fps_pallas
         return fps_pallas(xyz, n_samples, valid, start_idx=start_idx)

@@ -36,13 +36,18 @@ _BIG = 1e10
 
 
 def _fps_kernel(x_ref, y_ref, z_ref, init_ref, idx_ref, cx_ref, cy_ref,
-                cz_ref, dists_ref, *, n_samples: int):
+                cz_ref, dists_ref, *, n_samples: int, s_out: int):
+    # s_out = n_samples padded to a lane multiple: it sets the OUTPUT width
+    # only; the selection loop runs the true n_samples iterations (output
+    # lanes ≥ n_samples stay unwritten and are sliced off by the caller —
+    # looping to s_out wasted up to 4× the distance-update work for
+    # non-lane-multiple sample counts, e.g. the lvl2 fps(center, 32)).
     tile_b, n = init_ref.shape
     init = init_ref[:]
     dists_ref[:] = init
     x, y, z = x_ref[:], y_ref[:], z_ref[:]
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n), 1)
-    iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile_b, n_samples), 1)
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (tile_b, s_out), 1)
 
     # start = the explicit-start sentinel slot (init == 2*_BIG, see
     # fps_pallas_idx) if present, else the first valid slot (0 when
@@ -110,8 +115,9 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
                    tile_b: Optional[int] = None,
                    interpret: bool = False,
                    start_idx: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """FPS indices [B, n_samples] via the fused kernel. Pads B to tile_b, N to
-    a lane multiple, and n_samples to a lane multiple internally."""
+    """Fused-kernel FPS: returns (idx [B, n_samples] int32, sampled coords
+    [B, n_samples, 3]). Pads B to tile_b, N to a lane multiple, and
+    n_samples to a lane multiple internally (padding sliced off)."""
     B, N, _ = xyz.shape
     if tile_b is None:
         tile_b = _auto_tile_b(B, N + ((-N) % 128))
@@ -146,7 +152,7 @@ def fps_pallas_idx(xyz: jnp.ndarray, n_samples: int,
     out_spec = pl.BlockSpec((tile_b, s_out), lambda b: (b, 0),
                             memory_space=pltpu.VMEM)
     idx, cx, cy, cz = pl.pallas_call(
-        functools.partial(_fps_kernel, n_samples=s_out),
+        functools.partial(_fps_kernel, n_samples=n_samples, s_out=s_out),
         grid=(bp // tile_b,),
         in_specs=[row_spec, row_spec, row_spec, row_spec],
         out_specs=(out_spec,) * 4,

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from .fps import fps
-from .knn import knn
+from .knn import knn, knn_points
 from .geometry import index_points
 
 
@@ -36,12 +36,16 @@ def group_points(xyz: jnp.ndarray, num_group: int, group_size: int,
     always per-batch [B, G, S], the natural layout for jnp.take_along_axis.
     """
     center, center_idx = fps(xyz, num_group, valid)
-    from .knn_pallas import knn_gather, should_dispatch
-    if should_dispatch(xyz.shape[1], group_size):
-        # fused kNN + coordinate gather in one Pallas pass
-        _, idx, neighborhood = knn_gather(center, xyz, group_size)
-    else:
-        _, idx = knn(center, xyz, group_size)      # [B, G, S]
+    if valid is not None:
+        # honor the mask in the kNN stage too: displace invalid slots to a
+        # far shell so they are only ever selected when fewer than
+        # ``group_size`` valid points exist; gather real coordinates below.
+        far = jnp.where(jnp.broadcast_to(valid, xyz.shape[:2])[..., None],
+                        xyz, 1e6)
+        _, idx = knn(center, far, group_size)       # [B, G, S]
         neighborhood = index_points(xyz, idx)       # [B, G, S, 3]
+    else:
+        # knn_points owns the fused-Pallas-vs-portable dispatch
+        _, idx, neighborhood = knn_points(center, xyz, group_size)
     neighborhood = neighborhood - center[:, :, None, :]
     return Grouped(neighborhood, center, idx, center_idx)

@@ -196,7 +196,7 @@ knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
 def use_pallas_knn() -> bool:
     if os.environ.get("UPP_FORCE_PALLAS_KNN"):   # tests: interpret on CPU
         return True
-    return (jax.default_backend() != "cpu"
+    return (jax.default_backend() == "tpu"
             and not os.environ.get("UPP_DISABLE_PALLAS_KNN"))
 
 

@@ -35,7 +35,12 @@ def inverse_distance_interp(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
     S = xyz2.shape[1]
     kk = min(k, S)
     dk, idx = knn(xyz1, xyz2, kk)                       # ascending distances
-    w = 1.0 / (dk + eps)                                # [B, N, k]
+    # the XLA kNN path's matmul-form distances (-2qk+|q|²+|k|²) can round a
+    # self-distance to ~-2e-7; with eps as small as 1e-8 the weight would be
+    # a huge/wrong-signed 1/(d+eps). Clamp at 0 (the torch reference inherits
+    # the same hazard from square_distance; clamping only changes degenerate
+    # coincident-point cases).
+    w = 1.0 / (jnp.maximum(dk, 0.0) + eps)              # [B, N, k]
     w = w / jnp.sum(w, axis=-1, keepdims=True)
     if S <= 256:
         # small source set: express the weighted gather as a dense [N, S]

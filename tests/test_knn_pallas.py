@@ -98,3 +98,41 @@ def test_group_points_pallas_matches_xla(monkeypatch):
     np.testing.assert_allclose(np.asarray(g_pls.neighborhood),
                                np.asarray(g_xla.neighborhood),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_knn_idx_gather_free_variant():
+    """knn_idx (no neighbour-gather DMA) matches knn_gather's (d, idx) and
+    its distance gradients match the XLA chain's."""
+    from upp_tpu.ops.knn_pallas import knn_idx
+    from upp_tpu.ops.geometry import square_distance
+
+    rng = np.random.default_rng(77)
+    q = jnp.asarray(rng.standard_normal((2, 40, 3)).astype(np.float32))
+    p = jnp.asarray(rng.standard_normal((2, 300, 3)).astype(np.float32))
+    k = 8
+
+    d_g, i_g, _ = _knn_gather_fwd_impl(q, p, k, interpret=True)
+    d_i, i_i, none = _knn_gather_fwd_impl(q, p, k, interpret=True,
+                                          gather=False)
+    assert none is None
+    np.testing.assert_array_equal(np.asarray(i_g), np.asarray(i_i))
+    np.testing.assert_allclose(np.asarray(d_g), np.asarray(d_i), rtol=0,
+                               atol=0)
+
+    # gradient parity vs the XLA top_k chain (interpret mode via monkeypatch
+    # is unnecessary: on CPU the impl auto-interprets)
+    def loss_pallas(q, p):
+        d, _ = knn_idx(q, p, k)
+        return jnp.sum(jnp.sin(d))
+
+    def loss_xla(q, p):
+        sq = square_distance(q, p)
+        neg, _ = jax.lax.top_k(-sq, k)
+        return jnp.sum(jnp.sin(-neg))
+
+    gq_p, gp_p = jax.grad(loss_pallas, argnums=(0, 1))(q, p)
+    gq_x, gp_x = jax.grad(loss_xla, argnums=(0, 1))(q, p)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_p), np.asarray(gp_x),
+                               rtol=1e-4, atol=1e-5)

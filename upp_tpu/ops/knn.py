@@ -37,10 +37,9 @@ def knn(query: jnp.ndarray, points: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, j
     Returns:
       (sq_dists [B, S, k] ascending, idx [B, S, k] int32)
     """
-    from .knn_pallas import knn_gather, should_dispatch
+    from .knn_pallas import knn_idx, should_dispatch
     if should_dispatch(points.shape[1], k):
-        d, idx, _ = knn_gather(query, points, k)
-        return d, idx
+        return knn_idx(query, points, k)   # gather-free kernel variant
     sq = square_distance(query, points)           # [B, S, N]
     n = points.shape[1]
     if k > n:

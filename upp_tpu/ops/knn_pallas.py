@@ -45,8 +45,14 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = 1e30
 
 
-def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref, *,
-                k: int, n_real: int):
+def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, *rest, k: int,
+                n_real: int, gather: bool = True):
+    # outputs-then-scratch: (packed_ref, [nb_ref], d_ref). gather=False skips
+    # the neighbour-coordinate reductions AND the second output DMA — pure
+    # kNN callers (PoinTr/AdaPoinTr/deform idx-only sites) otherwise pay 3
+    # masked reductions per k iteration plus a dead [B, S, 128] HBM write.
+    nb_ref = rest[0] if gather else None
+    d_ref = rest[-1]
     bt, tile_s, _ = q_ref.shape
     n = px_ref.shape[2]
     qx = q_ref[:, :, 0:1]                                     # [BT, TILE_S, 1]
@@ -62,25 +68,27 @@ def _knn_kernel(q_ref, px_ref, py_ref, pz_ref, packed_ref, nb_ref, d_ref, *,
     d_ref[:] = d
 
     packed_ref[:] = jnp.zeros((bt, tile_s, 128), jnp.float32)
-    nb_ref[:] = jnp.zeros((bt, tile_s, 128), jnp.float32)
+    if gather:
+        nb_ref[:] = jnp.zeros((bt, tile_s, 128), jnp.float32)
 
     def body(j, _):
         dcur = d_ref[:]
         m = jnp.min(dcur, axis=-1, keepdims=True)             # [BT, TILE_S, 1]
         cand = jnp.where(dcur == m, iota_n, n)
         nxt = jnp.min(cand, axis=-1, keepdims=True)           # [BT, TILE_S, 1]
-        sel = (iota_n == nxt).astype(jnp.float32)
-        nbx = jnp.sum(px * sel, axis=-1, keepdims=True)
-        nby = jnp.sum(py * sel, axis=-1, keepdims=True)
-        nbz = jnp.sum(pz * sel, axis=-1, keepdims=True)
         # buffer 0: lanes [0:k) idx (as f32, exact for N < 2^24), [k:2k) dist
         packed_ref[:] = jnp.where(lane == j, nxt.astype(jnp.float32),
                                   jnp.where(lane == k + j, m, packed_ref[:]))
-        # buffer 1: lanes [0:k) nbx, [k:2k) nby, [2k:3k) nbz
-        nb_ref[:] = jnp.where(lane == j, nbx,
-                              jnp.where(lane == k + j, nby,
-                                        jnp.where(lane == 2 * k + j, nbz,
-                                                  nb_ref[:])))
+        if gather:
+            sel = (iota_n == nxt).astype(jnp.float32)
+            nbx = jnp.sum(px * sel, axis=-1, keepdims=True)
+            nby = jnp.sum(py * sel, axis=-1, keepdims=True)
+            nbz = jnp.sum(pz * sel, axis=-1, keepdims=True)
+            # buffer 1: lanes [0:k) nbx, [k:2k) nby, [2k:3k) nbz
+            nb_ref[:] = jnp.where(lane == j, nbx,
+                                  jnp.where(lane == k + j, nby,
+                                            jnp.where(lane == 2 * k + j, nbz,
+                                                      nb_ref[:])))
         d_ref[:] = jnp.where(iota_n == nxt, _BIG, dcur)
         return 0
 
@@ -101,10 +109,11 @@ def _auto_bt(B: int, ts: int, np_: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "tile_s", "interpret"))
+                   static_argnames=("k", "tile_s", "interpret", "gather"))
 def _knn_gather_fwd_impl(query: jnp.ndarray, points: jnp.ndarray, k: int,
                          tile_s: int = 128,
-                         interpret: Optional[bool] = None):
+                         interpret: Optional[bool] = None,
+                         gather: bool = True):
     if interpret is None:  # CPU has no Mosaic backend: interpret there
         interpret = jax.default_backend() == "cpu"
     B, S, _ = query.shape
@@ -131,19 +140,24 @@ def _knn_gather_fwd_impl(query: jnp.ndarray, points: jnp.ndarray, k: int,
     out_spec = pl.BlockSpec((bt, ts, 128), lambda b, s: (b, s, 0),
                             memory_space=pltpu.VMEM)
 
-    packed, nb = pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n_real=N),
+    n_out = 2 if gather else 1
+    out = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k, n_real=N, gather=gather),
         grid=(B // bt, sp // ts),
         in_specs=[q_spec, row_spec, row_spec, row_spec],
-        out_specs=(out_spec, out_spec),
-        out_shape=(jax.ShapeDtypeStruct((B, sp, 128), jnp.float32),
-                   jax.ShapeDtypeStruct((B, sp, 128), jnp.float32)),
+        out_specs=(out_spec,) * n_out,
+        out_shape=tuple(jax.ShapeDtypeStruct((B, sp, 128), jnp.float32)
+                        for _ in range(n_out)),
         scratch_shapes=[pltpu.VMEM((bt, ts, np_), jnp.float32)],
         interpret=interpret,
     )(qp, px, py, pz)
 
+    packed = out[0]
     idx = packed[:, :S, :k].astype(jnp.int32)
     dists = packed[:, :S, k:2 * k]
+    if not gather:
+        return dists, idx, None
+    nb = out[1]
     nbr = jnp.stack([nb[:, :S, :k], nb[:, :S, k:2 * k],
                      nb[:, :S, 2 * k:3 * k]], axis=-1)        # [B, S, k, 3]
     return dists, idx, nbr
@@ -191,6 +205,39 @@ def _knn_gather_bwd(k, res, cotangents):
 
 
 knn_gather.defvjp(_knn_gather_fwd, _knn_gather_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def knn_idx(query: jnp.ndarray, points: jnp.ndarray, k: int
+            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free fused kNN: (sq_dists [B,S,k], idx [B,S,k]).
+
+    Same selection as ``knn_gather`` but skips the neighbour-coordinate
+    reductions and the second output DMA — for idx-only call sites
+    (PoinTr/AdaPoinTr/deform attention). Distance gradients match the XLA
+    chain; the neighbour gather needed for the backward runs there lazily
+    (and is DCE'd when sq_dists is unused)."""
+    d, idx, _ = _knn_gather_fwd_impl(query, points, k, gather=False)
+    return d, idx
+
+
+def _knn_idx_fwd(query, points, k):
+    d, idx = knn_idx(query, points, k)
+    return (d, idx), (query, points, idx)
+
+
+def _knn_idx_bwd(k, res, cotangents):
+    query, points, idx = res
+    g_d, _ = cotangents
+    from .geometry import index_points
+    nbr = index_points(points, idx)
+    g_q, g_p = _knn_gather_bwd(
+        k, (query, points, idx, nbr),
+        (g_d, None, jnp.zeros(nbr.shape, jnp.float32)))
+    return g_q, g_p
+
+
+knn_idx.defvjp(_knn_idx_fwd, _knn_idx_bwd)
 
 
 def use_pallas_knn() -> bool:

@@ -31,18 +31,23 @@ def main():
         cfg["optimizer"]["kwargs"]["lr"] = lr
         cfg["model"]["prompter_config"]["downstream_prompts_num"] = pnum
         cfg["max_epoch"] = args.max_epoch
-        with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False,
-                                         dir="cfgs") as f:
+        # trial configs go to the system temp dir (dataset `_base_` paths in
+        # shipped configs are cwd-relative, so the file location is free);
+        # a crashed sweep must not litter cfgs/
+        with tempfile.NamedTemporaryFile("w", suffix=".yaml",
+                                         delete=False) as f:
             yaml.dump(cfg, f)
             path = f.name
-        cmd = [sys.executable, "main.py", "--peft_model", "--config", path,
-               "--exp_name", f"probe-lr{lr}-p{pnum}"]
-        if args.ckpts:
-            cmd += ["--ckpts", args.ckpts]
-        print("->", " ".join(cmd), flush=True)
-        if not args.dry_run:
-            subprocess.run(cmd, check=True)
-        os.unlink(path)
+        try:
+            cmd = [sys.executable, "main.py", "--peft_model", "--config",
+                   path, "--exp_name", f"probe-lr{lr}-p{pnum}"]
+            if args.ckpts:
+                cmd += ["--ckpts", args.ckpts]
+            print("->", " ".join(cmd), flush=True)
+            if not args.dry_run:
+                subprocess.run(cmd, check=True)
+        finally:
+            os.unlink(path)
 
 
 if __name__ == "__main__":

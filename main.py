@@ -30,11 +30,20 @@ def main():
     # devices inside the step, so the host batch stays total_bs per process.
     import jax
     per_proc = max(int(config.total_bs) // jax.process_count(), 1)
-    for split in ("train", "val", "test"):
+    for split in ("train", "val", "test", "extra_train"):
         if split in config.dataset:
+            # extra_train (the SVM-probe feature loader) runs inference only
+            # and doubles the batch (reference main.py:48-49,56-57).
+            # pretask val runs BATCHED: the eval step returns per-sample CD
+            # vectors, so the meter average is identical to the reference's
+            # bs=1 sweep (runner_pretask.py:359-385) at a fraction of the
+            # wall-clock; pretask *test* stays bs=1 for the per-sample
+            # taxonomy table (validate_detailed).
             config.dataset[split].others.bs = (
-                per_proc if split == "train"
-                else per_proc if config.task != "pretask" else 1)
+                per_proc * 2 if split == "extra_train"
+                else per_proc if split == "train"
+                else 1 if (config.task == "pretask" and split == "test")
+                else per_proc)
             # few-shot split selection: the reference parses --way/--shot/
             # --fold (utils/parser.py:75-80) but never forwards them, so its
             # ModelNetFewShot dataset (which reads config.way) is unreachable
@@ -66,14 +75,15 @@ def main():
         else:
             runner_cls.run_net(args, config, train_writer, val_writer)
     elif task == "segmentation":
+        # every task gets both writers (reference main.py:85-103)
         if args.finetune_model:
-            runner_seg.finetune_run_net(args, config)
+            runner_seg.finetune_run_net(args, config, train_writer, val_writer)
         else:
-            runner_seg.run_net(args, config)
+            runner_seg.run_net(args, config, train_writer, val_writer)
     elif task == "pretask":
-        runner_pretask.run_net(args, config)
+        runner_pretask.run_net(args, config, train_writer, val_writer)
     elif task == "pretrain":
-        runner_pretrain.run_net(args, config)
+        runner_pretrain.run_net(args, config, train_writer, val_writer)
     else:
         raise NotImplementedError(f"task {task}")
 

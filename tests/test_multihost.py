@@ -238,7 +238,7 @@ _WORKER_FSDP = textwrap.dedent("""
     from upp_tpu.models.build import jit_init
     from upp_tpu.parallel.mesh import (fsdp_shardings, host_local_variables,
                                        make_mesh, replicate, shard_batch)
-    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train import checkpoint as ckpt
     from upp_tpu.train.optim import build_optimizer
     from upp_tpu.train.runner_pretrain import make_pretrain_step
     from upp_tpu.train.state import TrainState
@@ -295,23 +295,23 @@ _WORKER_FSDP = textwrap.dedent("""
 
         # checkpoint the SHARDED state (rank-0 write, collective gather),
         # then resume into a fresh fsdp-placed state and compare
-        ckpt_io.save_checkpoint(state, 0, "ckpt-fsdp", ckpt_dir, block=False)
-        ckpt_io.wait_for_pending_saves()
+        ckpt.save_checkpoint(state, 0, "ckpt-fsdp", ckpt_dir, block=False)
+        ckpt.wait_for_pending_saves()
         from jax.experimental import multihost_utils
         multihost_utils.sync_global_devices("ckpt written")
         fresh = TrainState(params=place(pristine["params"]),
                            batch_stats=replicate(mesh, pristine["batch_stats"]),
                            opt_state=place(tx.init(pristine["params"])),
                            step=jnp.zeros((), jnp.int32))
-        restored, epoch, _ = ckpt_io.resume_checkpoint(
+        restored, epoch, _ = ckpt.resume_checkpoint(
             fresh, ckpt_dir, prefix="ckpt-fsdp")
         restored = restored.replace(params=place(restored.params),
                                     opt_state=place(restored.opt_state))
         ck_live = float(sum(
-            np.abs(ckpt_io._gather_leaf(l)).sum()
+            np.abs(ckpt._gather_leaf(l)).sum()
             for l in jax.tree_util.tree_leaves(state.params)))
         ck_rest = float(sum(
-            np.abs(ckpt_io._gather_leaf(l)).sum()
+            np.abs(ckpt._gather_leaf(l)).sum()
             for l in jax.tree_util.tree_leaves(restored.params)))
         # one more step on the RESUMED fsdp state proves the placement is live
         restored, m2 = step(restored,

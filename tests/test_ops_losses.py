@@ -144,3 +144,35 @@ def test_chamfer_both_masks():
                            valid1=jnp.asarray(va), valid2=jnp.asarray(vb)))
     want = float(chamfer_l2(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_chamfer_per_sample_matches_scalar_and_bs1_sweep():
+    """Per-sample CD vectors (batched pretask validate) reproduce both the
+    batch-mean scalar and the bs=1 sweep average exactly — so lifting val bs
+    from 1 changes wall-clock only (VERDICT r3 item 5)."""
+    from upp_tpu.ops.chamfer import chamfer_l1_per_sample, chamfer_l2_per_sample
+    from upp_tpu.train.metrics import AverageMeter
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((7, 33, 3)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((7, 21, 3)).astype(np.float32))
+
+    l1v = np.asarray(chamfer_l1_per_sample(x, y))
+    l2v = np.asarray(chamfer_l2_per_sample(x, y))
+    assert l1v.shape == (7,) and l2v.shape == (7,)
+    np.testing.assert_allclose(l1v.mean(), float(chamfer_l1(x, y)), rtol=1e-6)
+    np.testing.assert_allclose(l2v.mean(), float(chamfer_l2(x, y)), rtol=1e-6)
+    # per-sample row i == the bs=1 call on sample i
+    for i in (0, 4, 6):
+        np.testing.assert_allclose(
+            l1v[i], float(chamfer_l1(x[i:i + 1], y[i:i + 1])), rtol=1e-5)
+
+    # meter accumulation over uneven batches [5, 2] == bs=1 sweep over 7
+    m_batched = AverageMeter(["l1"])
+    m_batched.update_vectors([l1v[:5]])
+    m_batched.update_vectors([l1v[5:]])
+    m_bs1 = AverageMeter(["l1"])
+    for i in range(7):
+        m_bs1.update([float(l1v[i])])
+    np.testing.assert_allclose(m_batched.avg(0), m_bs1.avg(0), rtol=1e-7)
+    assert m_batched.count(0) == 7

@@ -138,3 +138,57 @@ def test_seg_runner_smoke(tmp_path):
     metrics = runner_seg.run_net(_args(tmp_path), config)
     assert 0.0 <= metrics["accuracy"] <= 1.0
     assert 0.0 <= metrics["instance_avg_iou"] <= 1.0
+
+
+def test_pretask_validate_batched_equals_bs1():
+    """validate() at val bs = train bs returns the same CD as the bs=1 sweep
+    (the reference evaluates at bs=1, runner_pretask.py:359-385; our eval
+    step returns per-sample vectors so batching is wall-clock-only —
+    VERDICT r3 item 5). Dataset size 7 with bs 5 forces a partial batch."""
+    import jax.numpy as jnp
+
+    from upp_tpu.data import BatchLoader, build_dataset_from_cfg
+    from upp_tpu.models import build_model_from_cfg
+    from upp_tpu.models.build import jit_init
+    from upp_tpu.train import runner_pretask
+    from upp_tpu.train.state import TrainState
+    from upp_tpu.utils.config import ConfigDict
+
+    ds = {"NAME": "Synthetic", "N_POINTS": 512, "NUM_CATEGORY": 4, "SIZE": 16}
+    config = ConfigDict.from_nested({
+        "dataset": {"val": {"_base_": ds, "others": {"subset": "test", "bs": 5}}},
+        "model": {"NAME": "Point_MAE_pretask_dev", "group_size": 8,
+                  "num_group": 16, "loss": "cdl2",
+                  "transformer_config": _transformer(),
+                  "prompter_config": _prompter(downstream=False),
+                  "gather_idx": True, "prompt_propagation_after": True},
+        "npoints": 128,
+    })
+    model = build_model_from_cfg(config.model)
+    import jax
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    variables = dict(jit_init(
+        model, rngs,
+        jnp.zeros((2, 128 + runner_pretask.GAUSSIAN_NUM
+                   + runner_pretask.LIDAR_NUM, 3), jnp.float32),
+        point_num=128, train_with_gaussian=True, deterministic=False))
+    variables.setdefault("batch_stats", {})
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    eval_step = runner_pretask.make_pretask_eval_step(model, config)
+
+    class _Tiny:
+        def __init__(self, ds, n): self.ds, self.n = ds, n
+        def __len__(self): return self.n
+        def __getitem__(self, i): return self.ds[i]
+
+    val_ds = _Tiny(build_dataset_from_cfg(
+        config.dataset.val._base_, config.dataset.val.others), 7)
+    m_b = runner_pretask.validate(eval_step, state,
+                                  BatchLoader(val_ds, 5), 0, logger="test")
+    m_1 = runner_pretask.validate(eval_step, state,
+                                  BatchLoader(val_ds, 1), 0, logger="test")
+    assert np.isfinite(m_b.cd)
+    np.testing.assert_allclose(m_b.cd, m_1.cd, rtol=1e-5)

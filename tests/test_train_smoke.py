@@ -75,7 +75,7 @@ def test_peft_run_net_trains_and_freezes_backbone(tmp_path):
 
     # reload last checkpoint and verify the PEFT invariant: backbone frozen,
     # downstream adapters/head moved
-    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train import checkpoint as ckpt
     from upp_tpu.train.state import TrainState
     state = TrainState(params=variables0["params"],
                        batch_stats=variables0["batch_stats"],
@@ -86,7 +86,7 @@ def test_peft_run_net_trains_and_freezes_backbone(tmp_path):
     tx, _, _ = build_optimizer(config, variables0["params"], 1,
                                peft_list=runner_cls.PEFT_LIST)
     state = state.replace(opt_state=tx.init(variables0["params"]))
-    state, start_epoch, _ = ckpt_io.resume_checkpoint(state, str(tmp_path))
+    state, start_epoch, _ = ckpt.resume_checkpoint(state, str(tmp_path))
     assert start_epoch >= 1
 
     p1 = jax.device_get(state.params)
@@ -130,7 +130,7 @@ def test_resume_past_joint_switch_keeps_joint_set(tmp_path):
     args.joint_optimization = 0      # switch fires at the end of epoch 0
     runner_cls.run_net(args, config)
 
-    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train import checkpoint as ckpt
     from upp_tpu.train.optim import build_optimizer
     from upp_tpu.train.state import TrainState
 
@@ -142,7 +142,7 @@ def test_resume_past_joint_switch_keeps_joint_set(tmp_path):
         st = TrainState(params=variables["params"],
                         batch_stats=variables["batch_stats"],
                         opt_state=tx.init(variables["params"]), step=0)
-        st, ep, _ = ckpt_io.resume_checkpoint(st, str(tmp_path))
+        st, ep, _ = ckpt.resume_checkpoint(st, str(tmp_path))
         return jax.device_get(st.params), ep
 
     p_before, ep = load_last()
@@ -175,7 +175,7 @@ def test_resume_is_bitwise_equivalent_to_uninterrupted(tmp_path):
     per-step rng is fold_in(step), the loader shuffle is seeded by epoch) and
     the orbax round trip is exact. The reference has no such guarantee test;
     its --resume restores weights+epoch only (tools/builder.py:91-125)."""
-    from upp_tpu.train import checkpoint as ckpt_io
+    from upp_tpu.train import checkpoint as ckpt
     from upp_tpu.train.optim import build_optimizer
     from upp_tpu.train.state import TrainState
 
@@ -189,7 +189,7 @@ def test_resume_is_bitwise_equivalent_to_uninterrupted(tmp_path):
         st = TrainState(params=variables["params"],
                         batch_stats=variables["batch_stats"],
                         opt_state=tx.init(variables["params"]), step=0)
-        st, ep, _ = ckpt_io.resume_checkpoint(st, str(exp_dir))
+        st, ep, _ = ckpt.resume_checkpoint(st, str(exp_dir))
         return jax.device_get(st), ep
 
     # run A: 4 epochs uninterrupted

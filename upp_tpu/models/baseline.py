@@ -38,17 +38,23 @@ class PointMAE(nn.Module):
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.mask_ratio = tc.mask_ratio
+        # bf16 matmuls with f32 accumulation in the block stacks (the
+        # reference's `if_half` knob). The pretrain step is MXU-bound
+        # (full-param bwd + AdamW), unlike the geometry-bound PEFT step
+        # where bf16 measured neutral — see BASELINE.md round-4 table.
+        cdtype = jnp.bfloat16 if bool(cfg.get("if_half", False)) else jnp.float32
         self.encoder = Encoder(tc.encoder_dims)
         self.pos_embed = PosEmbedMLP(tc.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
-            drop_path_rate=tc.drop_path_rate, plain=True)
+            drop_path_rate=tc.drop_path_rate, plain=True,
+            compute_dtype=cdtype)
         self.norm = nn.LayerNorm()
         self.decoder_pos_embed = PosEmbedMLP(tc.trans_dim)
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=tc.trans_dim, depth=tc.decoder_depth,
             num_heads=tc.decoder_num_heads, drop_path_rate=tc.drop_path_rate,
-            adapters=False)
+            adapters=False, compute_dtype=cdtype)
         self.increase_dim = nn.Dense(3 * self.group_size, name="increase_dim_conv")
         self.mask_token = self.param("mask_token", trunc_normal_init,
                                      (1, 1, tc.trans_dim))

@@ -113,3 +113,20 @@ def chamfer_l1(xyz1, xyz2, valid1=None, valid2=None, eps: float = 1e-12):
     if valid2 is not None:
         s2 = jnp.where(valid2, s2, 0.0)
     return (_masked_mean(s1, valid1) + _masked_mean(s2, valid2)) / 2.0
+
+
+def chamfer_l1_per_sample(xyz1, xyz2, eps: float = 1e-12):
+    """Per-sample [B] ChamferDistanceL1 — the reference evaluates CD one
+    sample at a time (``tools/runner_pretask.py:359-385`` at bs=1); this
+    returns the same per-sample values from one batched call so validation
+    can run at the training batch size with identical meter averages."""
+    d1, _, d2, _ = nn_distance(xyz1, xyz2)
+    s1 = jnp.sqrt(jnp.maximum(d1, eps)).mean(axis=-1)
+    s2 = jnp.sqrt(jnp.maximum(d2, eps)).mean(axis=-1)
+    return (s1 + s2) / 2.0
+
+
+def chamfer_l2_per_sample(xyz1, xyz2):
+    """Per-sample [B] ChamferDistanceL2 (see ``chamfer_l1_per_sample``)."""
+    d1, _, d2, _ = nn_distance(xyz1, xyz2)
+    return d1.mean(axis=-1) + d2.mean(axis=-1)

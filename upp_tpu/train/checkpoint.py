@@ -166,13 +166,3 @@ def resume_checkpoint(state: TrainState, experiment_path: str,
     start = int(restored["epoch"]) + 1
     print_log(f"[RESUME] restored ckpt @ epoch {restored['epoch']}", logger=logger)
     return new_state, start, dict(restored.get("metrics") or {})
-
-
-def load_params_only(state: TrainState, experiment_path: str,
-                     prefix: str = "ckpt-best", logger=None) -> TrainState:
-    """Tolerant weights-only load (builder.load_model analogue)."""
-    wait_for_pending_saves()
-    path = os.path.join(os.path.abspath(experiment_path), prefix)
-    restored = _checkpointer().restore(path)
-    return state.replace(params=restored["params"],
-                         batch_stats=restored.get("batch_stats") or {})

@@ -188,6 +188,16 @@ class AverageMeter:
             self._sum[i] += float(v)
             self._count[i] += 1
 
+    def update_vectors(self, vectors):
+        """Batched update: each entry is a per-sample vector; accumulates
+        sum + sample count so averages weight a partial trailing batch by
+        its size (identical to updating one sample at a time)."""
+        for i, v in enumerate(vectors):
+            v = np.asarray(v).reshape(-1)
+            self._val[i] = float(v.mean()) if v.size else self._val[i]
+            self._sum[i] += float(v.sum())
+            self._count[i] += int(v.size)
+
     def val(self, idx=None):
         return self._val if idx is None else self._val[idx]
 

@@ -26,12 +26,12 @@ from ..ops.corrupt import normalize_unit_sphere, scale_translate
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
 from ..utils.logger import get_logger, print_log
-from . import checkpoint as ckpt_io
+from . import checkpoint as ckpt
 from .metrics import AccMetric, AverageMeter, cross_entropy_loss_acc
 from .optim import build_optimizer, count_params
 from .pipeline import corrupt_batch, subsample_fps_random
 from .state import TrainState
-from .torch_ckpt import load_into_variables, load_torch_state_dict
+from .ckpt_io import load_weights, report_load
 
 # PEFT trainable-name lists (tools/runner_module.py:62-66, 230-244)
 PEFT_LIST = ["downstream_adapter", "downstream_adapter1", "downstream_prompts",
@@ -71,15 +71,9 @@ def init_model(args, config, example_points, logger=None, peft=True):
     variables = dict(variables)
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        state_dict = load_torch_state_dict(args.ckpts)
-        variables, missing, unexpected = load_into_variables(
-            variables, state_dict, logger=logger)
-        if missing:
-            print_log(f"missing_keys ({len(missing)}): {missing[:20]}...",
-                      logger=logger)
-        if unexpected:
-            print_log(f"unexpected_keys ({len(unexpected)}): {unexpected[:20]}...",
-                      logger=logger)
+        variables, missing, unexpected = load_weights(
+            variables, args.ckpts, logger=logger)
+        report_load(missing, unexpected, logger=logger)
     else:
         print_log("Training from scratch", logger=logger)
     return model, variables
@@ -240,7 +234,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     start_epoch = 0
     best = AccMetric(0.0)
     if getattr(args, "resume", False):
-        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+        state, start_epoch, saved = ckpt.resume_checkpoint(
             state, args.experiment_path, logger=logger)
         best = AccMetric(saved.get("acc", 0.0))
 
@@ -339,12 +333,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
                 val_writer.add_scalar("Metric/ACC", metrics.acc, epoch)
             if metrics.better_than(best):
                 best = metrics
-                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                ckpt.save_checkpoint(state, epoch, "ckpt-best",
                                         args.experiment_path,
                                         metrics=metrics.state_dict(), logger=logger)
-        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+        ckpt.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics=metrics.state_dict(), logger=logger)
-    ckpt_io.wait_for_pending_saves()
+    ckpt.wait_for_pending_saves()
     return best
 
 

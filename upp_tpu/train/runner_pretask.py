@@ -19,14 +19,15 @@ import numpy as np
 import optax
 
 from ..data import BatchLoader, build_dataset_from_cfg
-from ..ops.chamfer import chamfer_l1, chamfer_l2
+from ..ops.chamfer import (chamfer_l1, chamfer_l1_per_sample, chamfer_l2,
+                           chamfer_l2_per_sample)
 from ..ops.corrupt import (gaussian_shell_noise, lidar_noise,
                            separate_point_cloud)
 from ..ops.fps import fps
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
 from ..utils.logger import get_logger, print_log
-from . import checkpoint as ckpt_io
+from . import checkpoint as ckpt
 from .metrics import AverageMeter, CDMetric, Metrics, completion_metrics
 from .optim import build_optimizer, count_params
 from .runner_cls import build_loaders, init_model
@@ -141,10 +142,13 @@ def make_pretask_eval_step(model, config, mode: str = "easy"):
             deterministic=True)
         coarse = jnp.concatenate([partial_center, predict_center], axis=1)
         dense = jnp.concatenate([partial, rebuild], axis=1)
-        out = {"sparse_l1": chamfer_l1(coarse, gt) * 1000,
-               "sparse_l2": chamfer_l2(coarse, gt) * 1000,
-               "dense_l1": chamfer_l1(dense, gt) * 1000,
-               "dense_l2": chamfer_l2(dense, gt) * 1000}
+        # per-sample [B] vectors so validate() can run batched (val bs = train
+        # bs) while its meter averages stay bit-identical to the reference's
+        # bs=1 sweep (runner_pretask.py:359-385)
+        out = {"sparse_l1": chamfer_l1_per_sample(coarse, gt) * 1000,
+               "sparse_l2": chamfer_l2_per_sample(coarse, gt) * 1000,
+               "dense_l1": chamfer_l1_per_sample(dense, gt) * 1000,
+               "dense_l2": chamfer_l2_per_sample(dense, gt) * 1000}
         # Metrics table entries (runner_pretask.py:385-388): F-Score/CDL1/CDL2
         out.update(completion_metrics(dense, gt))
         return out
@@ -167,8 +171,13 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
         for vp in viewpoints:
             pending.append(eval_step(variables, gt, jnp.asarray(vp, jnp.float32)))
     for m in jax.device_get(pending):
-        meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
-                       float(m["dense_l1"]), float(m["dense_l2"])])
+        # per-sample [B] vectors: accumulate sums + sample counts so a
+        # partial trailing batch weighs by its size and the average equals
+        # the bs=1 sweep exactly
+        meters.update_vectors([np.asarray(m["sparse_l1"]),
+                               np.asarray(m["sparse_l2"]),
+                               np.asarray(m["dense_l1"]),
+                               np.asarray(m["dense_l2"])])
     if jax.process_count() > 1:
         # combine the per-host CD meters (sums + counts) so every host
         # reports — and ckpt-best tracks — the GLOBAL metric; the reference
@@ -202,9 +211,12 @@ def validate_detailed(eval_step, state, dataset, epoch, logger=None) -> CDMetric
         gt = jnp.asarray(np.asarray(payload[0], np.float32))[None]
         for vp in VIEWPOINTS_8:
             m = eval_step(variables, gt, jnp.asarray(vp, jnp.float32))
-            meters.update([float(m["sparse_l1"]), float(m["sparse_l2"]),
-                           float(m["dense_l1"]), float(m["dense_l2"])])
-            row = [float(m[n]) for n in Metrics.names()]
+            # CD entries are per-sample [1] vectors here (bs=1 sweep)
+            meters.update([float(np.asarray(m["sparse_l1"]).mean()),
+                           float(np.asarray(m["sparse_l2"]).mean()),
+                           float(np.asarray(m["dense_l1"]).mean()),
+                           float(np.asarray(m["dense_l2"]).mean())])
+            row = [float(np.asarray(m[n]).mean()) for n in Metrics.names()]
             category_metrics.setdefault(
                 str(taxonomy_id), AverageMeter(Metrics.names())).update(row)
     _print_metrics_table(category_metrics, logger)
@@ -249,9 +261,10 @@ def run_net(args, config, train_writer=None, val_writer=None):
                               train_with_gaussian=True, deterministic=False))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, missing, unexpected = load_into_variables(
-            variables, load_torch_state_dict(args.ckpts), logger=logger)
+        from .ckpt_io import load_weights, report_load
+        variables, missing, unexpected = load_weights(
+            variables, args.ckpts, logger=logger)
+        report_load(missing, unexpected, logger=logger)
 
     steps_per_epoch = max(len(train_loader), 1)
     peft = PRETASK_PEFT_LIST if getattr(args, "peft_model", True) else None
@@ -268,7 +281,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     start_epoch = 0
     best = CDMetric(1000.0)
     if getattr(args, "resume", False):
-        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+        state, start_epoch, saved = ckpt.resume_checkpoint(
             state, args.experiment_path, logger=logger)
         best = CDMetric(saved.get("cd", 1000.0))
 
@@ -315,20 +328,31 @@ def run_net(args, config, train_writer=None, val_writer=None):
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,
                    ["%.4f" % v for v in meters.avg()]), logger=logger)
+        if train_writer is not None:
+            # epoch-level scalars (reference runner_pretask.py:256-261,279
+            # logs per batch; we fetch metrics once per epoch)
+            for name, v in zip(meters.items, meters.avg()):
+                train_writer.add_scalar(f"Loss/Epoch/{name}", v, epoch)
+            train_writer.add_scalar("Loss/Epoch/LR",
+                                    float(sched(epoch * steps_per_epoch)), epoch)
 
         if epoch == STAGE2_EPOCH:
             state = apply_stage2_switch(state)
 
         if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:
             metrics = validate(eval_step, state, val_loader, epoch, logger=logger)
+            if val_writer is not None:
+                # reference runner_pretask.py:444-448
+                for k, v in metrics.state_dict().items():
+                    val_writer.add_scalar(f"Metric/{k}", float(v), epoch)
             if metrics.better_than(best):
                 best = metrics
-                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                ckpt.save_checkpoint(state, epoch, "ckpt-best",
                                         args.experiment_path,
                                         metrics=metrics.state_dict(), logger=logger)
-        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+        ckpt.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics=metrics.state_dict(), logger=logger)
-    ckpt_io.wait_for_pending_saves()
+    ckpt.wait_for_pending_saves()
     return best
 
 
@@ -337,7 +361,6 @@ def test_net(args, config):
     logger = get_logger(getattr(args, "log_name", "upp_tpu"))
     test_ds = build_dataset_from_cfg(config.dataset.test._base_,
                                      config.dataset.test.others)
-    loader = BatchLoader(test_ds, int(config.dataset.test.others.get("bs", 1)))
     from ..models import build_model_from_cfg
     model = build_model_from_cfg(config.model)
     npoints = int(config.npoints)
@@ -349,9 +372,8 @@ def test_net(args, config):
                               train_with_gaussian=True, deterministic=False))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, _, _ = load_into_variables(
-            variables, load_torch_state_dict(args.ckpts), logger=logger)
+        from .ckpt_io import load_weights
+        variables, _, _ = load_weights(variables, args.ckpts, logger=logger)
     state = TrainState(params=variables["params"],
                        batch_stats=variables["batch_stats"],
                        opt_state=None, step=jnp.zeros((), jnp.int32))

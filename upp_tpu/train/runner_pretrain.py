@@ -19,7 +19,7 @@ from ..ops.fps import fps
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
 from ..utils.logger import get_logger, print_log
-from . import checkpoint as ckpt_io
+from . import checkpoint as ckpt
 from .metrics import AccMetric, AverageMeter
 from .optim import build_optimizer
 from .state import TrainState
@@ -135,12 +135,13 @@ def run_net(args, config, train_writer=None, val_writer=None):
     variables.setdefault("batch_stats", {})
 
     # warm start (runner_pretrain.py:74-78): --resume wins; otherwise
-    # --start_ckpts (or --ckpts) loads weights through the torch shim
+    # --start_ckpts (or --ckpts) loads weights via the format dispatch
+    # (torch .pth shim or one of our own orbax checkpoint dirs)
     warm = getattr(args, "start_ckpts", None) or getattr(args, "ckpts", None)
     if not getattr(args, "resume", False) and warm:
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, missing, unexpected = load_into_variables(
-            variables, load_torch_state_dict(warm), logger=logger)
+        from .ckpt_io import load_weights
+        variables, missing, unexpected = load_weights(
+            variables, warm, logger=logger)
         print_log(f"[WARM START] loaded {warm} "
                   f"(missing={len(missing)}, unexpected={len(unexpected)})",
                   logger=logger)
@@ -163,7 +164,7 @@ def run_net(args, config, train_writer=None, val_writer=None):
     start_epoch = 0
     best = AccMetric(0.0)
     if getattr(args, "resume", False):
-        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+        state, start_epoch, saved = ckpt.resume_checkpoint(
             state, args.experiment_path, logger=logger)
         best = AccMetric(saved.get("acc", 0.0))
         # re-establish the intended placement: resume hands back host arrays,
@@ -190,6 +191,12 @@ def run_net(args, config, train_writer=None, val_writer=None):
             meters.update([float(m["loss"]) * 1000])
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) LossX1000 = %.4f" %
                   (epoch, time.time() - t0, meters.avg(0)), logger=logger)
+        if train_writer is not None:
+            # epoch-level scalar (reference runner_pretrain.py:160-161,179
+            # logs per batch; we fetch metrics once per epoch)
+            train_writer.add_scalar("Loss/Epoch/Loss_1", meters.avg(0), epoch)
+            train_writer.add_scalar("Loss/Epoch/LR",
+                                    float(sched(epoch * steps_per_epoch)), epoch)
 
         if (extra_loader is not None and epoch % val_freq == 0 and epoch != 0):
             acc = svm_probe(model, state, extra_loader, val_loader, npoints,
@@ -201,16 +208,16 @@ def run_net(args, config, train_writer=None, val_writer=None):
             metrics = AccMetric(acc)
             if metrics.better_than(best):
                 best = metrics
-                ckpt_io.save_checkpoint(state, epoch, "ckpt-best",
+                ckpt.save_checkpoint(state, epoch, "ckpt-best",
                                         args.experiment_path,
                                         metrics=best.state_dict(),
                                         logger=logger)
 
-        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+        ckpt.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics=best.state_dict(), logger=logger)
         # periodic snapshots late in the run (runner_pretrain.py:192-194)
         if epoch % 25 == 0 and epoch >= 250:
-            ckpt_io.save_checkpoint(state, epoch, f"ckpt-epoch-{epoch:03d}",
+            ckpt.save_checkpoint(state, epoch, f"ckpt-epoch-{epoch:03d}",
                                     args.experiment_path, logger=logger)
-    ckpt_io.wait_for_pending_saves()
+    ckpt.wait_for_pending_saves()
     return state

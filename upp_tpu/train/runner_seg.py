@@ -22,7 +22,7 @@ from ..ops.corrupt import (gaussian_shell_noise, lidar_noise,
 from ..parallel.mesh import (host_local_variables, make_mesh, replicate,
                              shard_batch)
 from ..utils.logger import get_logger, print_log
-from . import checkpoint as ckpt_io
+from . import checkpoint as ckpt
 from .metrics import AverageMeter, nll_seg_loss, seg_miou_metrics
 from .optim import build_optimizer, count_params
 from .state import TrainState
@@ -187,7 +187,13 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
     train_loader = BatchLoader(train_ds, bs, shuffle=True, drop_last=True,
                                seed=args.seed, num_shards=jax.process_count(),
                                shard_index=jax.process_index())
-    val_loader = BatchLoader(val_ds, int(config.dataset.val.others.bs))
+    # val is process-sharded like runner_cls.build_loaders — validate()
+    # gathers per-sample rows and dedups shard padding by index, so each
+    # host evaluates 1/process_count of the set instead of all of it
+    val_loader = BatchLoader(val_ds, int(config.dataset.val.others.bs),
+                             shuffle=False, drop_last=False,
+                             num_shards=jax.process_count(),
+                             shard_index=jax.process_index())
 
     model = build_model_from_cfg(config.model)
     n_pts = int(config.dataset.train._base_.N_POINTS)
@@ -209,9 +215,10 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
                                   example_query, deterministic=True))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, missing, unexpected = load_into_variables(
-            variables, load_torch_state_dict(args.ckpts), logger=logger)
+        from .ckpt_io import load_weights, report_load
+        variables, missing, unexpected = load_weights(
+            variables, args.ckpts, logger=logger)
+        report_load(missing, unexpected, logger=logger)
 
     steps_per_epoch = max(len(train_loader), 1)
     peft = SEG_PEFT_LIST if (unify and getattr(args, "peft_model", True)) else None
@@ -227,7 +234,7 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
                        step=jnp.zeros((), jnp.int32))
     start_epoch, best_ins_iou = 0, 0.0
     if getattr(args, "resume", False):
-        state, start_epoch, saved = ckpt_io.resume_checkpoint(
+        state, start_epoch, saved = ckpt.resume_checkpoint(
             state, args.experiment_path, logger=logger)
         best_ins_iou = saved.get("instance_avg_iou", 0.0)
 
@@ -251,19 +258,31 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
         print_log("[Training] EPOCH: %d EpochTime = %.3f (s) Losses = %s" %
                   (epoch, time.time() - t0,
                    ["%.4f" % v for v in meters.avg()]), logger=logger)
+        if train_writer is not None:
+            # epoch-level scalars (the reference logs per batch,
+            # runner_unify_seg.py:254-256; we fetch metrics once per epoch)
+            train_writer.add_scalar("Loss/Epoch/Loss", meters.avg(0), epoch)
+            train_writer.add_scalar("Loss/Epoch/TrainAcc", meters.avg(1), epoch)
+            train_writer.add_scalar("Loss/Epoch/LR",
+                                    float(sched(epoch * steps_per_epoch)), epoch)
 
         if epoch % max(int(getattr(args, "val_freq", 1)), 1) == 0:
             metrics = validate(eval_step, state, val_loader, epoch, logger=logger)
+            if val_writer is not None:
+                for k in ("accuracy", "class_avg_iou", "instance_avg_iou"):
+                    if k in metrics:
+                        val_writer.add_scalar(f"Metric/{k}", float(metrics[k]),
+                                              epoch)
             if metrics["instance_avg_iou"] >= best_ins_iou:
                 best_ins_iou = metrics["instance_avg_iou"]
-                ckpt_io.save_checkpoint(
+                ckpt.save_checkpoint(
                     state, epoch, "ckpt-best", args.experiment_path,
                     metrics={k: v for k, v in metrics.items()
                              if isinstance(v, float)}, logger=logger)
-        ckpt_io.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
+        ckpt.save_checkpoint(state, epoch, "ckpt-last", args.experiment_path,
                                 metrics={k: v for k, v in metrics.items()
                                          if isinstance(v, float)}, logger=logger)
-    ckpt_io.wait_for_pending_saves()
+    ckpt.wait_for_pending_saves()
     return metrics
 
 
@@ -276,7 +295,10 @@ def test_net(args, config, unify: bool = True):
     logger = get_logger(getattr(args, "log_name", "upp_tpu"))
     test_ds = build_dataset_from_cfg(config.dataset.test._base_,
                                      config.dataset.test.others)
-    loader = BatchLoader(test_ds, int(config.dataset.test.others.bs))
+    loader = BatchLoader(test_ds, int(config.dataset.test.others.bs),
+                         shuffle=False, drop_last=False,
+                         num_shards=jax.process_count(),
+                         shard_index=jax.process_index())
     model = build_model_from_cfg(config.model)
     n_pts = int(config.dataset.test._base_.N_POINTS)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
@@ -294,9 +316,8 @@ def test_net(args, config, unify: bool = True):
                                   deterministic=True))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, _, _ = load_into_variables(
-            variables, load_torch_state_dict(args.ckpts), logger=logger)
+        from .ckpt_io import load_weights
+        variables, _, _ = load_weights(variables, args.ckpts, logger=logger)
     state = TrainState(params=variables["params"],
                        batch_stats=variables["batch_stats"],
                        opt_state=None, step=jnp.zeros((), jnp.int32))

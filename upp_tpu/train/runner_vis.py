@@ -50,9 +50,8 @@ def test_net(args, config, max_items: int = 40):
                               deterministic=False))
     variables.setdefault("batch_stats", {})
     if getattr(args, "ckpts", None):
-        from .torch_ckpt import load_into_variables, load_torch_state_dict
-        variables, _, _ = load_into_variables(
-            variables, load_torch_state_dict(args.ckpts), logger=logger)
+        from .ckpt_io import load_weights
+        variables, _, _ = load_weights(variables, args.ckpts, logger=logger)
 
     out_dir = os.path.join(args.experiment_path, "vis")
     os.makedirs(out_dir, exist_ok=True)

@@ -43,7 +43,7 @@ class PointMAE(nn.Module):
         # (full-param bwd + AdamW), unlike the geometry-bound PEFT step
         # where bf16 measured neutral — see BASELINE.md round-4 table.
         cdtype = jnp.bfloat16 if bool(cfg.get("if_half", False)) else jnp.float32
-        self.encoder = Encoder(tc.encoder_dims)
+        self.encoder = Encoder(tc.encoder_dims, compute_dtype=cdtype)
         self.pos_embed = PosEmbedMLP(tc.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
@@ -87,14 +87,16 @@ class PointMAE(nn.Module):
         mask_neigh = jnp.take_along_axis(
             g.neighborhood, mask_idx[..., None, None], axis=1)
 
-        # encode ALL groups, then gather the visible tokens: the reference
+        # encode ALL groups through both BatchNorms, then gather the visible
+        # groups INSIDE the encoder (right after the second BN): the reference
         # runs the encoder before the mask select (Point_MAE_cp.py:352-357),
-        # so in train mode the encoder's BatchNorm statistics couple the
-        # masked groups too — encoding only the visible neighbourhoods would
-        # shift the BN batch stats and drift the training dynamics.
-        all_tokens = self.encoder(g.neighborhood,
-                                  use_running_average=deterministic)
-        tokens = jnp.take_along_axis(all_tokens, vis_idx[..., None], axis=1)
+        # so in train mode the encoder's BN statistics couple the masked
+        # groups too — but past the second BN the masked activations feed
+        # nothing, so the final conv+pool skips them (gradient-exact, saves
+        # ~24% of the encoder FLOPs at mask_ratio 0.6).
+        tokens = self.encoder(g.neighborhood,
+                              use_running_average=deterministic,
+                              vis_idx=vis_idx)
         x_vis = self.blocks(tokens, self.pos_embed(vis_center), path="none",
                             deterministic=deterministic)
         x_vis = self.norm(x_vis)

@@ -13,7 +13,7 @@ them to batched MXU matmuls; max-pools are axis reductions on the VPU.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -181,36 +181,55 @@ class Encoder(nn.Module):
     Pointwise convs are Dense over the channel axis; BatchNorm statistics are
     taken over (batch*groups*points), matching torch BatchNorm1d on the
     flattened (B*G, C, n) layout.
+
+    ``compute_dtype=bfloat16`` runs the conv matmuls on the MXU in bf16
+    (params and BN statistics stay f32) — the `if_half` knob of the
+    reference. ``vis_idx`` (MAE pretraining) gathers the visible groups
+    right after the second BatchNorm: the masked groups' activations feed
+    ONLY the BN batch statistics (``Point_MAE_cp.py:352-357`` encodes all
+    groups before the mask select), so the final 512→C conv + maxpool on
+    the ~60% masked groups is pure waste — skipping it is gradient-exact.
     """
     encoder_channel: int
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, point_groups, use_running_average: bool = True):
+    def __call__(self, point_groups, use_running_average: bool = True,
+                 vis_idx=None):
         bs, g, n, _ = point_groups.shape
         # pointwise chains run on a FLAT [BG*n, C] layout: plain 2-D matmuls.
         # (A 3-D [960, 16, C] dot_general trips a TPU-backend conv-emitter
         # cost-model CHECK at exactly the seg model's vis-grouping shape —
         # jellyfish fusion_util TransformWindow abort; 2-D dots never take
         # that path. BN statistics are unchanged: reduce over all-but-last.)
+        cd = self.compute_dtype
         x = point_groups.reshape(bs * g * n, 3)
         # first_conv: 3 → 128 → BN → ReLU → 256
-        x = nn.Dense(128, name="first_conv0")(x)
+        x = nn.Dense(128, dtype=cd, name="first_conv0")(x)
+        # cast BN outputs back to the compute dtype: BN statistics stay f32
+        # inside TorchBatchNorm; writing the normalised activations at f32
+        # doubles the HBM traffic of the whole elementwise chain for nothing
         x = TorchBatchNorm(use_running_average=use_running_average,
-                         momentum=0.9, epsilon=1e-5, name="first_bn")(x)
+                         momentum=0.9, epsilon=1e-5, name="first_bn")(x).astype(cd)
         x = nn.relu(x)
-        x = nn.Dense(256, name="first_conv1")(x)
+        x = nn.Dense(256, dtype=cd, name="first_conv1")(x)
         x = x.reshape(bs * g, n, 256)
         g_max = jnp.max(x, axis=1, keepdims=True)                 # [BG, 1, 256]
         x = jnp.concatenate([jnp.broadcast_to(g_max, x.shape), x], axis=-1)
         # second_conv: 512 → 512 → BN → ReLU → C
         x = x.reshape(bs * g * n, 512)
-        x = nn.Dense(512, name="second_conv0")(x)
+        x = nn.Dense(512, dtype=cd, name="second_conv0")(x)
         x = TorchBatchNorm(use_running_average=use_running_average,
-                         momentum=0.9, epsilon=1e-5, name="second_bn")(x)
+                         momentum=0.9, epsilon=1e-5, name="second_bn")(x).astype(cd)
+        if vis_idx is not None:
+            x = jnp.take_along_axis(x.reshape(bs, g, n, 512),
+                                    vis_idx[..., None, None], axis=1)
+            g = vis_idx.shape[1]
+            x = x.reshape(bs * g * n, 512)
         x = nn.relu(x)
-        x = nn.Dense(self.encoder_channel, name="second_conv1")(x)
+        x = nn.Dense(self.encoder_channel, dtype=cd, name="second_conv1")(x)
         x = jnp.max(x.reshape(bs * g, n, self.encoder_channel), axis=1)
-        return x.reshape(bs, g, self.encoder_channel)
+        return x.reshape(bs, g, self.encoder_channel).astype(jnp.float32)
 
 
 class PosEmbedMLP(nn.Module):

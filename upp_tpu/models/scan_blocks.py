@@ -240,13 +240,17 @@ class ScannedEncoderStack(nn.Module):
                 body = jax.checkpoint(
                     body, prevent_cse=False,
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-            # partial unroll amortises the per-iteration stacked-param
-            # dynamic-slice overhead (58.2 -> 54.8 ms/step on v5e) and, on
-            # this toolchain, also compiles FASTER than the rolled scan
+            # FULL unroll: every scan iteration is latency-bound at these
+            # token counts (~0.7 ms/block vs ~0.1 ms roofline — the fwd+bwd
+            # whiles were 20 of the 50 ms MAE-pretrain grad, xprof r4), so
+            # unrolling lets XLA pipeline across blocks. r4 sweep (v5e):
+            # pretrain 65.6 -> 56.3 ms/step; flagship/pretask/seg neutral;
+            # flagship cold compile 93.7 -> 90.0 s. (r3's partial unroll of 4
+            # had already measured 58.2 -> 54.8 on the flagship vs rolled.)
             try:
                 unroll = int(os.environ.get("UPP_SCAN_UNROLL", ""))
             except ValueError:
-                unroll = min(4, int(n))
+                unroll = int(n)
             x, (ys, stats) = jax.lax.scan(body, x, xs,
                                           unroll=max(1, min(unroll, int(n))))
             if use_prop and stats is not None:

@@ -1,0 +1,150 @@
+"""Rehearse the full UPP workflow end-to-end on the attached TPU.
+
+Reference ``train.sh:6-21`` → ``test.sh:4-24``: phase 1 pretask-trains the
+rectify/completion prompters (Chamfer + noise losses on cropped+noised
+clouds) on a pretrained backbone, phase 2 loads that prompter via ``--ckpts``
+and PEFT-trains the downstream prompts/adapters/head, then ``--test``
+evaluates on a noisy eval set with the prompters engaged
+(``noisy_validate: True``). No real datasets/released checkpoints exist
+in-container, so a stage 0 MAE-pretrains the backbone on synthetic data first
+(standing in for the released mae_base the reference warm-starts from — and
+exercising the pretrain→pretask orbax handoff). The whole composition runs
+through the real CLI (subprocesses, our own orbax checkpoints end to end) at
+tiny-but-real scale (full 384-dim/12-block model), with three eval arms:
+
+  OA_trained  — phase-2 model whose prompter came from phase 1, prompters ON
+  OA_random   — same phase-2 recipe + same pretrained backbone, but the
+                prompter stays at random init
+  OA_noprompt — the trained-prompter model evaluated through the plain
+                backbone path (prompters bypassed at eval)
+
+The UPP claim under rehearsal: OA_trained > max(OA_random, OA_noprompt).
+Results are recorded in BASELINE.md ("Two-phase rehearsal").
+
+Run:  python scripts/rehearse_two_phase.py   (~40 min, mostly XLA compiles)
+"""
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_main(argv, tag):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    print(f"[{tag}] main.py {' '.join(argv)}", flush=True)
+    r = subprocess.run([sys.executable, os.path.join(REPO, "main.py")] + argv,
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=3600)
+    if r.returncode != 0:
+        print(r.stdout[-4000:])
+        print(r.stderr[-4000:])
+        raise SystemExit(f"[{tag}] failed rc={r.returncode}")
+    return r.stdout + r.stderr
+
+
+def latest_ckpt(cfg_stem, name="ckpt-best"):
+    dirs = sorted(glob.glob(os.path.join(
+        REPO, "experiments", cfg_stem, "**", name), recursive=True),
+        key=os.path.getmtime)
+    assert dirs, f"no {name} under experiments/{cfg_stem}"
+    return dirs[-1]
+
+
+def test_oa(blob):
+    lines = [l for l in blob.splitlines() if "[TEST] acc =" in l]
+    assert lines, blob[-2000:]
+    return float(lines[-1].rsplit("=", 1)[1])
+
+
+def have(cfg_stem, name="ckpt-last"):
+    """Stage cache (UPP_REHEARSE_RESUME=1): reuse an existing stage ckpt."""
+    if os.environ.get("UPP_REHEARSE_RESUME") != "1":
+        return False
+    return bool(glob.glob(os.path.join(REPO, "experiments", cfg_stem, "**",
+                                       name), recursive=True))
+
+
+def main():
+    # ---- stage 0: MAE-pretrain a backbone on synthetic ----------------------
+    # (stands in for the released mae_base ckpt the reference warm-starts
+    # from, reference train.sh's implicit prerequisite — and exercises the
+    # pretrain→pretask orbax handoff through the CLI)
+    if not have("pretrain_synthetic"):
+        run_main(["--config", "cfgs/pretrain_synthetic.yaml",
+                  "--exp_name", "rehearsal"], "pretrain")
+    backbone = latest_ckpt("pretrain_synthetic", "ckpt-last")
+    print(f"[pretrain] backbone ckpt: {backbone}", flush=True)
+
+    # ---- phase 1: pretask-train the prompter --------------------------------
+    if not have("pretask_synthetic"):
+        run_main(["--config", "cfgs/pretask_synthetic.yaml",
+                  "--ckpts", backbone, "--exp_name", "rehearsal"], "pretask")
+    # ckpt-LAST, not ckpt-best: best is selected on the completion branch's
+    # dense CD (reference pattern), which at 250 synthetic steps never beats
+    # the pre-training initial validate — while the rectify prompter (what
+    # noisy eval needs) trains all of stage 1 and freezes at the stage-2
+    # switch, so the final state carries the fully-trained rectifier.
+    prompter = latest_ckpt("pretask_synthetic", "ckpt-last")
+    print(f"[pretask] prompter ckpt: {prompter}", flush=True)
+
+    # ---- phase 2, arm A: unify PEFT with the trained prompter ---------------
+    run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
+              "--ckpts", prompter, "--exp_name", "rehearsal-trained"], "unify-trained")
+    m_trained = latest_ckpt("unify_synthetic_noisy_cls")
+
+    # ---- phase 2, arm B: same recipe + same pretrained backbone, but the
+    # prompter stays at random init (loads the stage-0 backbone ckpt, which
+    # has no prompter leaves — so the arms differ ONLY by prompter training)
+    run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
+              "--ckpts", backbone, "--exp_name", "rehearsal-random"], "unify-random")
+    m_random = latest_ckpt("unify_synthetic_noisy_cls")
+    assert m_random != m_trained
+
+    # ---- eval arms -----------------------------------------------------------
+    oa_trained = test_oa(run_main(
+        ["--test", "--peft_model", "--config",
+         "cfgs/unify_synthetic_noisy_cls.yaml", "--ckpts", m_trained,
+         "--exp_name", "rehearsal-eval-trained"], "eval-trained"))
+    oa_random = test_oa(run_main(
+        ["--test", "--peft_model", "--config",
+         "cfgs/unify_synthetic_noisy_cls.yaml", "--ckpts", m_random,
+         "--exp_name", "rehearsal-eval-random"], "eval-random"))
+
+    # no-prompter arm: same trained model, prompters bypassed at eval
+    # (noisy_validate flipped off in a copy of the config)
+    import yaml
+    cfg = yaml.safe_load(open(os.path.join(
+        REPO, "cfgs", "unify_synthetic_noisy_cls.yaml")))
+    cfg["noisy_validate"] = False
+    with tempfile.NamedTemporaryFile("w", suffix=".yaml", dir=tempfile.gettempdir(),
+                                     delete=False) as f:
+        yaml.dump(cfg, f)
+        flipped = f.name
+    try:
+        oa_noprompt = test_oa(run_main(
+            ["--test", "--peft_model", "--config", flipped,
+             "--ckpts", m_trained, "--exp_name", "rehearsal-eval-noprompt"],
+            "eval-noprompt"))
+    finally:
+        os.unlink(flipped)
+
+    result = {"oa_trained": oa_trained, "oa_random": oa_random,
+              "oa_noprompt": oa_noprompt,
+              "prompter_helps": oa_trained > max(oa_random, oa_noprompt)}
+    print(json.dumps(result), flush=True)
+    print(f"\ntrained-prompter OA {oa_trained:.2f}  vs  "
+          f"random-prompter {oa_random:.2f}  /  no-prompter {oa_noprompt:.2f}",
+          flush=True)
+    if not result["prompter_helps"]:
+        raise SystemExit("REHEARSAL FAILED: trained prompter did not improve noisy OA")
+
+
+if __name__ == "__main__":
+    main()

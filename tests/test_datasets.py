@@ -325,3 +325,31 @@ def test_few_shot_cli_flags_reach_dataset(modelnet_root, tmp_path):
     # the run trained on the 2way_1shot/0.pkl split and checkpointed
     exp = list(tmp_path.glob("experiments/**/ckpt-last"))
     assert exp, r.stdout[-2000:]
+
+
+def test_synthetic_sensor_noise_options():
+    """NOISE_OUTLIERS replaces the last m surface points with shell outliers
+    (radius 1.05-1.5) and NOISE_JITTER adds per-point N(0, sigma) — both
+    deterministic per index, so a noisy real-scan eval set (the two-phase
+    rehearsal's test split) is reproducible."""
+    from upp_tpu.data.synthetic import SyntheticDataset
+    from upp_tpu.utils.config import ConfigDict
+
+    base = dict(N_POINTS=256, NUM_CATEGORY=4, SIZE=8, subset="test")
+    clean = SyntheticDataset(ConfigDict.from_nested(base))
+    noisy = SyntheticDataset(ConfigDict.from_nested(
+        dict(base, NOISE_OUTLIERS=12, NOISE_JITTER=0.01)))
+
+    _, _, (pc, _) = clean[3]
+    _, _, (pn, label) = noisy[3]
+    assert pn.shape == pc.shape == (256, 3)
+    r = np.linalg.norm(pn, axis=1)
+    # the last 12 points are shell outliers, everything else near the surface
+    assert (r[-12:] > 1.04).all() and (r[-12:] < 1.51).all()
+    assert (r[:-12] < 1.04).all()
+    # jitter is small: non-outlier points stay close to the clean sample
+    assert np.abs(pn[:-12] - pc[:-12]).max() < 0.06
+    # deterministic per index
+    _, _, (pn2, label2) = noisy[3]
+    np.testing.assert_array_equal(pn, pn2)
+    assert label == label2

@@ -57,7 +57,13 @@ _GENERATORS = [_sphere, _cube, _cylinder, _torus, _cone, _plane]
 
 @DATASETS.register_module("Synthetic")
 class SyntheticDataset:
-    """config fields: N_POINTS, NUM_CATEGORY (≤ 6), SIZE, subset, seed."""
+    """config fields: N_POINTS, NUM_CATEGORY (≤ 6), SIZE, subset, seed;
+    optional sensor-noise fields NOISE_OUTLIERS (int: replace that many
+    surface points with shell outliers at radius U(1.05, 1.5) — the same
+    regime as ``ops.corrupt.lidar_noise``/``gaussian_shell_noise``, which the
+    pretask phase trains the prompter to remove) and NOISE_JITTER (float:
+    N(0, σ) per-point jitter). Both deterministic per index, so a "noisy
+    real-scan" eval set (à la ScanObjectNN) is reproducible."""
 
     def __init__(self, config):
         self.npoints = config.N_POINTS
@@ -65,6 +71,8 @@ class SyntheticDataset:
         self.size = int(config.get("SIZE", 256))
         self.subset = config.get("subset", "train")
         self.seed = int(config.get("seed", 0)) + (0 if self.subset == "train" else 10_000)
+        self.noise_outliers = int(config.get("NOISE_OUTLIERS", 0))
+        self.noise_jitter = float(config.get("NOISE_JITTER", 0.0))
 
     def __len__(self):
         return self.size
@@ -74,6 +82,15 @@ class SyntheticDataset:
         rng = np.random.default_rng(self.seed * 1_000_003 + index)
         pts = _GENERATORS[label](rng, self.npoints).astype(np.float32)
         pts /= np.max(np.linalg.norm(pts, axis=1))   # unit sphere
+        if self.noise_jitter > 0.0:
+            pts = pts + self.noise_jitter * rng.standard_normal(
+                pts.shape).astype(np.float32)
+        m = self.noise_outliers
+        if m > 0:
+            d = rng.standard_normal((m, 3)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            r = rng.uniform(1.05, 1.5, (m, 1)).astype(np.float32)
+            pts[-m:] = d * r
         return "Synthetic", f"sample{index}", (pts, label)
 
 

@@ -63,10 +63,14 @@ def init_model(args, config, example_points, logger=None, peft=True):
     model = build_model_from_cfg(config.model)
     rngs = {"params": jax.random.key(args.seed), "dropout": jax.random.key(1),
             "droppath": jax.random.key(2), "mask": jax.random.key(3)}
-    noisy = bool(config.get("noisy_train", False))
+    # init through the FULL prompted path regardless of noisy_train: torch
+    # creates every module in __init__, so the param tree must not depend on
+    # which paths the config exercises (noisy_train=False with
+    # noisy_validate=True used to leave the prompter params uncreated and
+    # crash the first validate with ScopeParamNotFound)
     from ..models.build import jit_init
-    variables = jit_init(model, rngs, example_points, completion_prompt=noisy,
-                         denoise=noisy, point_num=int(config.npoints),
+    variables = jit_init(model, rngs, example_points, completion_prompt=True,
+                         denoise=True, point_num=int(config.npoints),
                          deterministic=True)
     variables = dict(variables)
     variables.setdefault("batch_stats", {})

@@ -169,6 +169,11 @@ def validate(eval_step, state, loader, epoch, logger=None):
         _, keep = np.unique(idx, return_index=True)
         preds, targets, cls_arr = preds[keep], targets[keep], cls_arr[keep]
     m = seg_miou_metrics(preds, targets, cls_arr, SEG_CLASSES)
+    # per-category table, reference format (runner_unify_seg.py:363-364)
+    for cat in sorted(m["per_category_iou"]):
+        print_log("eval mIoU of %s %f" % (cat + " " * (14 - len(cat)),
+                                          m["per_category_iou"][cat]),
+                  logger=logger)
     print_log("Epoch %d test Accuracy: %f  Class avg mIOU: %f  "
               "Instance avg mIOU: %f" %
               (epoch, m["accuracy"] * 100, m["class_avg_iou"] * 100,
@@ -206,9 +211,13 @@ def run_net(args, config, train_writer=None, val_writer=None, unify: bool = True
             "droppath": jax.random.key(2)}
     from ..models.build import jit_init
     if unify:
+        # init through the FULL prompted path regardless of noisy_train:
+        # torch creates every module in __init__, so the param tree must not
+        # depend on which paths the config exercises (noisy_train=False +
+        # noisy eval used to leave prompter params uncreated)
         variables = dict(jit_init(
             model, rngs, example_pts, example_hot, example_query,
-            completion_prompt=noisy, denoise=noisy,
+            completion_prompt=True, denoise=True,
             point_num=n_pts - int(n_pts * 0.25), deterministic=True))
     else:
         variables = dict(jit_init(model, rngs, example_pts, example_hot,

@@ -15,7 +15,16 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from upp_tpu.ops.emd import earth_mover_distance  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from upp_tpu.ops.emd import (approx_match, earth_mover_distance,  # noqa: E402
+                             match_cost)
+
+
+def explicit_emd(a, b):
+    """The pre-r4 unfused path: materialized [B, n, m] match carry."""
+    m = jax.lax.stop_gradient(approx_match(a, b))
+    return (match_cost(a, b, m) / a.shape[1]).sum()
 
 
 def timeit(fn, iters=20, warmup=2):
@@ -38,8 +47,11 @@ def main():
         bwd = jax.jit(jax.grad(lambda a, b: earth_mover_distance(a, b).sum()))
         t_f = timeit(lambda: fwd(x, y))
         t_b = timeit(lambda: bwd(x, y))
-        print(f"emd [{B},{n}] vs [{B},{m}]: fwd {t_f:.2f} ms   "
-              f"fwd+bwd {t_b:.2f} ms", flush=True)
+        e_f = timeit(lambda: jax.jit(explicit_emd)(x, y))
+        e_b = timeit(lambda: jax.jit(jax.grad(explicit_emd, argnums=(0, 1)))(x, y))
+        print(f"emd [{B},{n}] vs [{B},{m}]: fused fwd {t_f:.2f} ms  "
+              f"fwd+bwd {t_b:.2f} ms   |   explicit-match fwd {e_f:.2f} ms  "
+              f"fwd+bwd {e_b:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -114,6 +114,33 @@ def test_match_cost_custom_vjp_matches_formula():
     np.testing.assert_allclose(np.asarray(g2)[0], want2, rtol=1e-4, atol=1e-5)
 
 
+def test_emd_fused_matches_explicit_match_path():
+    """The fused cost scan (no materialized match) must agree with the
+    explicit approx_match + match_cost path — values AND gradients — on
+    uneven cloud sizes in both directions."""
+    for shape1, shape2, seed in [((2, 32, 3), (2, 32, 3), 30),
+                                 ((2, 48, 3), (2, 24, 3), 31),
+                                 ((2, 16, 3), (2, 64, 3), 32)]:
+        a = jnp.asarray(_rand(shape1, seed))
+        b = jnp.asarray(_rand(shape2, seed + 100))
+
+        def explicit(x, y):
+            m = jax.lax.stop_gradient(approx_match(x, y))
+            return match_cost(x, y, m) / x.shape[1]
+
+        def fused(x, y):
+            return earth_mover_distance(x, y, reduce_mean=False)
+
+        np.testing.assert_allclose(np.asarray(fused(a, b)),
+                                   np.asarray(explicit(a, b)),
+                                   rtol=1e-5, atol=1e-6)
+        ge = jax.grad(lambda x, y: explicit(x, y).sum(), argnums=(0, 1))(a, b)
+        gf = jax.grad(lambda x, y: fused(x, y).sum(), argnums=(0, 1))(a, b)
+        for e, f in zip(ge, gf):
+            np.testing.assert_allclose(np.asarray(f), np.asarray(e),
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_emd_close_to_optimal_assignment():
     """approx_match cost is near the true optimal transport cost computed by
     scipy's Hungarian algorithm on equal-size clouds."""

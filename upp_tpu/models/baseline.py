@@ -48,13 +48,14 @@ class PointMAE(nn.Module):
         self.blocks = ScannedEncoderStack(
             embed_dim=tc.trans_dim, depth=tc.depth, num_heads=tc.num_heads,
             drop_path_rate=tc.drop_path_rate, plain=True,
-            compute_dtype=cdtype)
+            compute_dtype=cdtype, unroll=cfg.get("scan_unroll", None))
         self.norm = nn.LayerNorm()
         self.decoder_pos_embed = PosEmbedMLP(tc.trans_dim)
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=tc.trans_dim, depth=tc.decoder_depth,
             num_heads=tc.decoder_num_heads, drop_path_rate=tc.drop_path_rate,
-            adapters=False, compute_dtype=cdtype)
+            adapters=False, compute_dtype=cdtype,
+            unroll=cfg.get("scan_unroll", None))
         self.increase_dim = nn.Dense(3 * self.group_size, name="increase_dim_conv")
         self.mask_token = self.param("mask_token", trunc_normal_init,
                                      (1, 1, tc.trans_dim))
@@ -128,7 +129,8 @@ class PointTransformer(nn.Module):
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate, plain=True)
+            drop_path_rate=cfg.drop_path_rate, plain=True,
+            unroll=cfg.get("scan_unroll", None))
         self.norm = nn.LayerNorm()
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, cfg.trans_dim))

@@ -48,7 +48,8 @@ class PointMAEPretaskLegacy(nn.Module):
             group_size=cfg.group_size, num_group=cfg.num_group,
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.get("prompter_config")),
-            remat=bool(cfg.get("remat_blocks", False)))
+            remat=bool(cfg.get("remat_blocks", False)),
+            unroll=cfg.get("scan_unroll", 4))
         self.mask_prompter = RectifyPrompter(
             hidden_dimension=tc.trans_dim)
 

@@ -105,6 +105,12 @@ class ScannedEncoderStack(nn.Module):
     # callers now default it OFF — cfg knob `remat_blocks: True` re-enables
     # it for memory-constrained (larger-batch) runs.
     remat: bool = False
+    # scan unroll factor (cfg `scan_unroll`); None = full unroll (fastest
+    # step — every iteration is latency-bound at these token counts) at the
+    # cost of a larger HLO / longer cold compile. `UPP_SCAN_UNROLL` env
+    # still overrides both (kill switch + sweep knob). Compile-vs-step
+    # numbers: BASELINE.md "Compile-time budget".
+    unroll: Optional[int] = None
 
     def setup(self):
         L, C = self.depth, self.embed_dim
@@ -240,17 +246,22 @@ class ScannedEncoderStack(nn.Module):
                 body = jax.checkpoint(
                     body, prevent_cse=False,
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
-            # FULL unroll: every scan iteration is latency-bound at these
+            # Unroll policy: every scan iteration is latency-bound at these
             # token counts (~0.7 ms/block vs ~0.1 ms roofline — the fwd+bwd
             # whiles were 20 of the 50 ms MAE-pretrain grad, xprof r4), so
             # unrolling lets XLA pipeline across blocks. r4 sweep (v5e):
-            # pretrain 65.6 -> 56.3 ms/step; flagship/pretask/seg neutral;
-            # flagship cold compile 93.7 -> 90.0 s. (r3's partial unroll of 4
-            # had already measured 58.2 -> 54.8 on the flagship vs rolled.)
+            # pretrain 65.6 -> 56.3 ms/step with FULL unroll;
+            # flagship/pretask/seg step-neutral between unroll 4 and full.
+            # COLD COMPILE is the tie-breaker (flagship, measured same-day):
+            # rolled 595 s, unroll=4 123 s, full >400 s — the rolled while
+            # is the SLOWEST to compile, not the fastest. Defaults: unify
+            # family unroll=4 (via cfg.get("scan_unroll", 4)), MAE-pretrain
+            # full (its 2-stack HLO is small and full unroll is its fastest
+            # step). BASELINE.md "Compile-time budget" has the table.
             try:
                 unroll = int(os.environ.get("UPP_SCAN_UNROLL", ""))
             except ValueError:
-                unroll = int(n)
+                unroll = int(n) if self.unroll is None else int(self.unroll)
             x, (ys, stats) = jax.lax.scan(body, x, xs,
                                           unroll=max(1, min(unroll, int(n))))
             if use_prop and stats is not None:
@@ -446,6 +457,7 @@ class ScannedDecoderStack(nn.Module):
     drop_path_rate: float = 0.0
     compute_dtype: Any = jnp.float32
     remat: bool = False
+    unroll: Optional[int] = None
     # pretask adapters in every block (the UPP decoders,
     # Point_MAE_pretask_dev.py:352-384). False = the vanilla Point_MAE
     # decoder (Point_MAE_cp.py:205-237), which has plain blocks.
@@ -457,7 +469,7 @@ class ScannedDecoderStack(nn.Module):
             num_heads=self.num_heads, drop_path_rate=self.drop_path_rate,
             is_decoder=True, plain=not self.adapters,
             compute_dtype=self.compute_dtype,
-            remat=self.remat)
+            remat=self.remat, unroll=self.unroll)
         self.norm = nn.LayerNorm()
 
     def __call__(self, x, pos, return_token_num: int, *,

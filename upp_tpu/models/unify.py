@@ -67,6 +67,7 @@ class _UnifyCore(nn.Module):
     prompter: PrompterConfig = PrompterConfig()
     if_half: bool = False   # bf16 matmuls in the block stacks (cfg `if_half`)
     remat: bool = False     # remat block bwd (cfg `remat_blocks`)
+    unroll: int = None      # scan unroll (cfg `scan_unroll`; None = full)
 
     @property
     def vis_num(self) -> int:
@@ -86,7 +87,7 @@ class _UnifyCore(nn.Module):
         self.blocks = ScannedEncoderStack(
             embed_dim=self.trans_dim, depth=self.depth, num_heads=self.num_heads,
             drop_path_rate=self.drop_path_rate, prompter=self.prompter,
-            compute_dtype=cdtype, remat=self.remat)
+            compute_dtype=cdtype, remat=self.remat, unroll=self.unroll)
         self.norm = nn.LayerNorm()
         self.shape_pred = TwoLayerHead(self.trans_dim // 2, self.vis_short)
         self.coarse_pred = TwoLayerHead(
@@ -96,7 +97,7 @@ class _UnifyCore(nn.Module):
         self.MAE_decoder = ScannedDecoderStack(
             embed_dim=self.trans_dim, depth=self.decoder_depth,
             num_heads=self.decoder_num_heads, drop_path_rate=self.drop_path_rate,
-            compute_dtype=cdtype, remat=self.remat)
+            compute_dtype=cdtype, remat=self.remat, unroll=self.unroll)
         self.dense_pred = nn.Dense(3 * self.group_size, name="dense_pred_conv")
         self.rectify_prompter = RectifyPrompter(hidden_dimension=self.trans_dim)
         self.mask_token = self.param(
@@ -176,7 +177,8 @@ class PointMAEUnify(nn.Module):
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", False)))
+            remat=bool(cfg.get("remat_blocks", False)),
+            unroll=cfg.get("scan_unroll", 4))
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, tc.trans_dim))
         self.cls_pos = self.param("cls_pos", trunc_normal_init,
@@ -250,7 +252,8 @@ class PointMAEPretask(nn.Module):
             mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", False)))
+            remat=bool(cfg.get("remat_blocks", False)),
+            unroll=cfg.get("scan_unroll", 4))
 
     def __call__(self, pts, *, point_num: int = 2048,
                  train_with_gaussian: bool = True, deterministic: bool = True):

@@ -120,7 +120,8 @@ class PointMAEUnifySeg(nn.Module):
             group_size=cfg.group_size, num_group=64, mask_ratio=tc.mask_ratio,
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
-            remat=bool(cfg.get("remat_blocks", False)))
+            remat=bool(cfg.get("remat_blocks", False)),
+            unroll=cfg.get("scan_unroll", 4))
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.label_conv = LabelConv()
@@ -190,7 +191,8 @@ class PointTransformerSeg(nn.Module):
         self.pos_embed = PosEmbedMLP(cfg.trans_dim)
         self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
-            drop_path_rate=cfg.drop_path_rate)
+            drop_path_rate=cfg.drop_path_rate,
+            unroll=cfg.get("scan_unroll", 4))
         self.label_conv = LabelConv()
         self.propagation_0 = PointNetFeaturePropagation(
             mlp=(384 * 4, 1024), interpolate_neighbors=5)

@@ -105,10 +105,95 @@ def _match_cost_bwd(res, g):
 match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
 
 
+def _emd_scan(xyz1: jnp.ndarray, xyz2: jnp.ndarray):
+    """Fused approx-match + cost: one scan over the 10 levels accumulating
+    only REDUCTIONS of the transported mass ``w = kern * ratio_l ⊗ ratio_r``
+    — the cost bilinear form plus the four gradient residuals (row/col
+    marginals, ``match @ xyz2``, ``matchᵀ @ xyz1``) — so neither ``w`` nor the
+    [B, n, m] match matrix is ever materialized or carried. The unfused path
+    reads+writes the match carry every round (~1 GB/round at bs 120, n=m=1024)
+    and re-reads it three times in the backward; here the carry is O(B·n).
+
+    Identical round recurrence to :func:`approx_match` (same suml/consumption
+    updates, emd_kernel.cu:28-120); only the *outputs* are pre-reduced.
+    """
+    B, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    f32 = jnp.float32
+    if n >= m:
+        mult_l, mult_r = 1.0, float(n // m)
+    else:
+        mult_l, mult_r = float(m // n), 1.0
+    x1, x2 = xyz1.astype(f32), xyz2.astype(f32)
+    d2 = square_distance(x1, x2)                                   # [B, n, m]
+
+    def round_fn(state, level):
+        remain_l, remain_r, cost, row, col, mx2, mx1 = state
+        kern = jnp.exp(level * d2)
+        suml = 1e-9 + jnp.einsum("bnm,bm->bn", kern, remain_r,
+                                 preferred_element_type=f32)
+        ratio_l = remain_l / suml
+        sumr = jnp.einsum("bnm,bn->bm", kern, ratio_l,
+                          preferred_element_type=f32) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # w-reductions as matvecs: Σ_m w = ratio_l·(kern@ratio_r), etc.
+        rhs = jnp.concatenate([ratio_r[..., None], ratio_r[..., None] * x2],
+                              axis=-1)                             # [B, m, 4]
+        left = jnp.einsum("bnm,bmc->bnc", kern, rhs,
+                          preferred_element_type=f32)              # [B, n, 4]
+        w_row = ratio_l * left[..., 0]
+        mx2 = mx2 + ratio_l[..., None] * left[..., 1:]
+        lhs = jnp.concatenate([ratio_l[..., None], ratio_l[..., None] * x1],
+                              axis=-1)                             # [B, n, 4]
+        right = jnp.einsum("bnm,bnc->bmc", kern, lhs,
+                           preferred_element_type=f32)             # [B, m, 4]
+        col = col + ratio_r * right[..., 0]
+        mx1 = mx1 + ratio_r[..., None] * right[..., 1:]
+        cost = cost + jnp.einsum("bn,bnm,bm->b", ratio_l, d2 * kern, ratio_r,
+                                 preferred_element_type=f32)
+        row = row + w_row
+        remain_l = jnp.maximum(0.0, remain_l - w_row)
+        return (remain_l, remain_r, cost, row, col, mx2, mx1), None
+
+    init = (jnp.full((B, n), mult_l, f32), jnp.full((B, m), mult_r, f32),
+            jnp.zeros((B,), f32), jnp.zeros((B, n), f32),
+            jnp.zeros((B, m), f32), jnp.zeros((B, n, 3), f32),
+            jnp.zeros((B, m, 3), f32))
+    (_, _, cost, row, col, mx2, mx1), _ = jax.lax.scan(
+        round_fn, init, jnp.asarray(_LEVELS, f32))
+    return cost, row, col, mx2, mx1
+
+
+@jax.custom_vjp
+def _emd_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> jnp.ndarray:
+    return _emd_scan(xyz1, xyz2)[0]
+
+
+def _emd_cost_fwd(xyz1, xyz2):
+    cost, row, col, mx2, mx1 = _emd_scan(xyz1, xyz2)
+    return cost, (xyz1, xyz2, row, col, mx2, mx1)
+
+
+def _emd_cost_bwd(res, g):
+    # match treated as a constant wrt the inputs, exactly like
+    # _match_cost_bwd / the CUDA custom autograd (emd_kernel.cu:286-358)
+    xyz1, xyz2, row, col, mx2, mx1 = res
+    g = g[:, None, None]
+    grad1 = 2.0 * (xyz1 * row[..., None] - mx2) * g
+    grad2 = 2.0 * (xyz2 * col[..., None] - mx1) * g
+    return grad1, grad2
+
+
+_emd_cost.defvjp(_emd_cost_fwd, _emd_cost_bwd)
+
+
 def earth_mover_distance(xyz1: jnp.ndarray, xyz2: jnp.ndarray,
                          reduce_mean: bool = True) -> jnp.ndarray:
     """EMD loss: per-batch match cost / n, optionally batch-meaned
-    (``extensions/emd/emd.py:26-49``)."""
-    match = jax.lax.stop_gradient(approx_match(xyz1, xyz2))
-    cost = match_cost(xyz1, xyz2, match) / xyz1.shape[1]
+    (``extensions/emd/emd.py:26-49``). Uses the fused match+cost scan;
+    :func:`approx_match` + :func:`match_cost` remain the explicit-match API
+    (cross-checked equal in tests/test_ops_losses.py)."""
+    cost = _emd_cost(xyz1, xyz2) / xyz1.shape[1]
     return jnp.mean(cost) if reduce_mean else cost

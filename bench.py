@@ -325,55 +325,132 @@ def _release_device_state():
         a.delete()
 
 
-def main():
-    from upp_tpu.parallel.mesh import make_mesh
+def _hb(t0, msg):
+    """Heartbeat: timestamped stderr line, flushed immediately so a
+    timeout-kill still leaves a trail of where the run got to."""
+    print(f"[bench +{time.time() - t0:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
-    n_devices = len(jax.devices())
-    mesh = make_mesh()
 
-    flagship = bench_flagship(mesh, n_devices)
-    extras = []
-    if not os.environ.get("UPP_BENCH_ONLY_FLAGSHIP"):
-        for metric, fn in (("pretask_train_clouds_per_sec_per_chip", bench_pretask),
-                           ("seg_train_clouds_per_sec_per_chip", bench_seg),
-                           ("pretrain_train_clouds_per_sec_per_chip", bench_pretrain),
-                           ("flagship_eval_clouds_per_sec_per_chip", bench_eval)):
-            try:
-                _release_device_state()
-                v = fn(mesh, n_devices)
-                extras.append({
-                    "metric": metric, "value": round(v, 2),
-                    "unit": "clouds/s/chip"})
-            except Exception as e:   # an extra must never lose the headline
-                print(f"[bench] {metric} failed: {e!r}", file=sys.stderr)
-                extras.append({
-                    "metric": metric, "value": None, "unit": "clouds/s/chip"})
+def _emit(flagship, extras):
+    """Print the FULL headline JSON line with whatever extras exist so far.
 
+    Called once right after the flagship measurement and again after every
+    extra completes: the last JSON line on stdout is always the most
+    complete result, and a kill at ANY point after the flagship still
+    leaves a parseable headline in the driver's tail (VERDICT r4 item 1 —
+    round 4 lost its perf evidence to exactly this failure mode)."""
     print(json.dumps({
         "metric": "noisy_modelnet40_peft_train_clouds_per_sec_per_chip",
         "value": round(flagship, 2),
         "unit": "clouds/s/chip",
         "vs_baseline": round(flagship / CUDA_BASELINE_CLOUDS_PER_SEC, 3),
         "extras": extras,
-    }))
+    }), flush=True)
+
+
+def _fake_main():
+    """UPP_BENCH_FAKE=1: exercise the emit/stream/deadline plumbing without
+    a TPU (used by tests/test_bench_harness.py, which kills the process
+    mid-extras and asserts the flagship line already reached stdout)."""
+    _emit(1234.5, [])
+    extras = []
+    for metric in ("pretask_train_clouds_per_sec_per_chip",
+                   "seg_train_clouds_per_sec_per_chip"):
+        time.sleep(float(os.environ.get("UPP_BENCH_FAKE_SLEEP", "5")))
+        extras.append({"metric": metric, "value": 1.0,
+                       "unit": "clouds/s/chip"})
+        _emit(1234.5, extras)
+
+
+def main():
+    from upp_tpu.parallel.mesh import make_mesh
+
+    t0 = time.time()
+    # Internal deadline: stop STARTING new extras once this much wall-clock
+    # has elapsed, so the run degrades to fewer extras instead of letting
+    # the driver's outer timeout kill it (the headline is emitted before
+    # any extra runs, so it can no longer be lost either way).
+    deadline = float(os.environ.get("UPP_BENCH_DEADLINE_SEC", "480"))
+
+    n_devices = len(jax.devices())
+    mesh = make_mesh()
+
+    _hb(t0, f"devices={n_devices}; building flagship step (first call "
+            "compiles — cold can take minutes, warm-cache seconds)")
+    flagship = bench_flagship(mesh, n_devices)
+    _hb(t0, f"flagship done: {flagship:.1f} clouds/s/chip")
+    extras = []
+    _emit(flagship, extras)   # headline is now un-losable
+
+    if not os.environ.get("UPP_BENCH_ONLY_FLAGSHIP"):
+        for metric, fn in (("pretask_train_clouds_per_sec_per_chip", bench_pretask),
+                           ("seg_train_clouds_per_sec_per_chip", bench_seg),
+                           ("pretrain_train_clouds_per_sec_per_chip", bench_pretrain),
+                           ("flagship_eval_clouds_per_sec_per_chip", bench_eval)):
+            if time.time() - t0 > deadline:
+                _hb(t0, f"deadline {deadline:.0f}s reached; skipping {metric}")
+                extras.append({"metric": metric, "value": None,
+                               "unit": "clouds/s/chip",
+                               "skipped": "deadline"})
+                continue
+            try:
+                _release_device_state()
+                _hb(t0, f"starting {metric} (includes first-call compile)")
+                v = fn(mesh, n_devices)
+                _hb(t0, f"{metric}: {v:.1f}")
+                extras.append({
+                    "metric": metric, "value": round(v, 2),
+                    "unit": "clouds/s/chip"})
+            except Exception as e:   # an extra must never lose the headline
+                _hb(t0, f"{metric} failed: {e!r}")
+                extras.append({
+                    "metric": metric, "value": None, "unit": "clouds/s/chip"})
+            _emit(flagship, extras)
 
 
 def _guarded_main():
     """Run the measurement in a child process so that an intermittent axon
     TPU-worker crash (observed early in development under sustained Pallas
     invocation, see ops/fps.py) cannot lose the JSON line: on a failed fast
-    run, retry once with the Pallas FPS path disabled."""
+    run, retry once with the Pallas FPS path disabled.
+
+    The child's stdout is TEE'D LINE-BY-LINE (not captured-then-forwarded):
+    round 4's bench died to a driver timeout with an empty tail because
+    ``capture_output=True`` only forwarded after child exit. stderr is
+    inherited directly so heartbeats stream in real time, and a SIGTERM to
+    this parent kills the child and still exits with everything already
+    forwarded."""
+    import signal
     import subprocess
 
     for attempt_env in (None, {"UPP_DISABLE_PALLAS_FPS": "1"}):
         env = dict(os.environ, _UPP_BENCH_CHILD="1", **(attempt_env or {}))
-        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                              env=env, capture_output=True, text=True)
-        sys.stderr.write(proc.stderr)
-        line = next((l for l in proc.stdout.splitlines()
-                     if l.startswith("{")), None)
-        if proc.returncode == 0 and line:
-            print(line)
+        proc = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                                env=env, stdout=subprocess.PIPE, text=True,
+                                bufsize=1)
+
+        def _forward_term(signum, frame, p=proc):
+            p.terminate()
+        prev = signal.signal(signal.SIGTERM, _forward_term)
+        json_line = None
+        try:
+            for line in proc.stdout:
+                line = line.rstrip("\n")
+                print(line, flush=True)       # forward IMMEDIATELY
+                if line.startswith("{"):
+                    json_line = line
+            proc.wait()
+        finally:
+            signal.signal(signal.SIGTERM, prev)
+            if proc.poll() is None:
+                proc.kill()
+        if proc.returncode == 0 and json_line:
+            return
+        if json_line:   # crashed mid-extras but the headline already went out
+            sys.stderr.write(
+                f"[bench] child rc={proc.returncode} after emitting the "
+                "headline; keeping the partial result\n")
             return
         sys.stderr.write(
             f"[bench] run failed (rc={proc.returncode}, env={attempt_env}); "
@@ -383,6 +460,6 @@ def _guarded_main():
 
 if __name__ == "__main__":
     if os.environ.get("_UPP_BENCH_CHILD"):
-        main()
+        _fake_main() if os.environ.get("UPP_BENCH_FAKE") else main()
     else:
         _guarded_main()

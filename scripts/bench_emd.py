@@ -15,8 +15,6 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-import jax.numpy as jnp  # noqa: E402
-
 from upp_tpu.ops.emd import (approx_match, earth_mover_distance,  # noqa: E402
                              match_cost)
 
@@ -40,15 +38,20 @@ def timeit(fn, iters=20, warmup=2):
 
 def main():
     rng = np.random.default_rng(0)
+    # hoist all four jits out of the timed lambdas: jax.jit/jax.grad return
+    # fresh function objects, so constructing them per-iteration would
+    # re-trace every call and invalidate the fused-vs-explicit comparison
+    fwd = jax.jit(lambda a, b: earth_mover_distance(a, b).sum())
+    bwd = jax.jit(jax.grad(lambda a, b: earth_mover_distance(a, b).sum()))
+    e_fwd = jax.jit(explicit_emd)
+    e_bwd = jax.jit(jax.grad(explicit_emd, argnums=(0, 1)))
     for B, n, m in [(64, 1024, 1024), (120, 1024, 1024), (64, 2048, 2048)]:
         x = jnp.asarray(rng.standard_normal((B, n, 3)).astype(np.float32))
         y = jnp.asarray(rng.standard_normal((B, m, 3)).astype(np.float32))
-        fwd = jax.jit(lambda a, b: earth_mover_distance(a, b).sum())
-        bwd = jax.jit(jax.grad(lambda a, b: earth_mover_distance(a, b).sum()))
         t_f = timeit(lambda: fwd(x, y))
         t_b = timeit(lambda: bwd(x, y))
-        e_f = timeit(lambda: jax.jit(explicit_emd)(x, y))
-        e_b = timeit(lambda: jax.jit(jax.grad(explicit_emd, argnums=(0, 1)))(x, y))
+        e_f = timeit(lambda: e_fwd(x, y))
+        e_b = timeit(lambda: e_bwd(x, y))
         print(f"emd [{B},{n}] vs [{B},{m}]: fused fwd {t_f:.2f} ms  "
               f"fwd+bwd {t_b:.2f} ms   |   explicit-match fwd {e_f:.2f} ms  "
               f"fwd+bwd {e_b:.2f} ms", flush=True)

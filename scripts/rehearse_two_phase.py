@@ -139,6 +139,11 @@ def main():
               "oa_noprompt": oa_noprompt,
               "prompter_helps": oa_trained > max(oa_random, oa_noprompt)}
     print(json.dumps(result), flush=True)
+    # machine-readable record at the repo root (VERDICT r4 item 3) — the
+    # human-readable table lives in BASELINE.md "Two-phase rehearsal"
+    with open(os.path.join(REPO, "REHEARSAL.json"), "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
     print(f"\ntrained-prompter OA {oa_trained:.2f}  vs  "
           f"random-prompter {oa_random:.2f}  /  no-prompter {oa_noprompt:.2f}",
           flush=True)

@@ -1,0 +1,86 @@
+"""bench.py harness robustness (VERDICT r4 item 1).
+
+Round 4's driver bench was killed at timeout and left an EMPTY tail because
+the parent captured the child's output and only forwarded it after child
+exit. The reworked harness tees line-by-line and emits the headline JSON
+immediately after the flagship measurement; these tests kill the process
+mid-extras and assert the headline already reached stdout.
+
+Runs the harness in UPP_BENCH_FAKE mode (no TPU needed): same parent/child
+plumbing, fake numbers, long sleeps standing in for the extra benches.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+FAKE_ENV = dict(
+    os.environ,
+    UPP_BENCH_FAKE="1",
+    UPP_BENCH_FAKE_SLEEP="30",
+    UPP_NO_COMPILE_CACHE="1",
+    JAX_PLATFORMS="cpu",
+)
+
+
+def _read_until_json(proc, timeout_s=120.0):
+    """Read streamed stdout lines until the first JSON line appears."""
+    lines = []
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if not line:
+            break
+        lines.append(line.rstrip("\n"))
+        if line.startswith("{"):
+            return lines
+    pytest.fail(f"no JSON line within {timeout_s}s; got: {lines!r}")
+
+
+def test_kill_mid_run_keeps_flagship_line():
+    """SIGTERM the parent while the (fake) extras are still sleeping: the
+    flagship headline must already be on stdout, streamed, parseable."""
+    proc = subprocess.Popen([sys.executable, BENCH], env=FAKE_ENV,
+                            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                            text=True, bufsize=1)
+    try:
+        lines = _read_until_json(proc)
+        # the headline arrived while the child is still mid-extras (sleeping
+        # 30 s) — this is the streaming property round 4's harness lacked
+        proc.send_signal(signal.SIGTERM)
+        rest, _ = proc.communicate(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
+    all_lines = lines + rest.splitlines()
+    json_lines = [l for l in all_lines if l.startswith("{")]
+    assert json_lines, f"no JSON line survived the kill: {all_lines!r}"
+    parsed = json.loads(json_lines[-1])
+    assert parsed["metric"] == "noisy_modelnet40_peft_train_clouds_per_sec_per_chip"
+    assert parsed["value"] == 1234.5
+    assert parsed["unit"] == "clouds/s/chip"
+
+
+def test_clean_run_last_line_has_all_extras():
+    """Un-killed run: the last JSON line accumulates every extra."""
+    env = dict(FAKE_ENV, UPP_BENCH_FAKE_SLEEP="0")
+    proc = subprocess.run([sys.executable, BENCH], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(json_lines) >= 3   # headline + one per fake extra
+    first, last = json.loads(json_lines[0]), json.loads(json_lines[-1])
+    assert first["extras"] == []
+    assert [e["metric"] for e in last["extras"]] == [
+        "pretask_train_clouds_per_sec_per_chip",
+        "seg_train_clouds_per_sec_per_chip"]
+    assert first["value"] == last["value"] == 1234.5

@@ -322,6 +322,49 @@ _WORKER_FSDP = textwrap.dedent("""
 """)
 
 
+_WORKER_PRETASK_DETAIL = textwrap.dedent("""
+    import io, sys
+    from contextlib import redirect_stdout
+    pid, port = int(sys.argv[1]), sys.argv[2]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                               process_id=pid)
+    import jax.numpy as jnp
+    import numpy as np
+    from upp_tpu.data import build_dataset_from_cfg
+    from upp_tpu.train.runner_pretask import validate_detailed
+    from upp_tpu.train.state import TrainState
+
+    # SIZE=9 over 2 processes -> shards of 5 and 4; the gather pads the
+    # short shard and dedup-by-index must drop the padding row
+    ds = build_dataset_from_cfg(
+        {"NAME": "Synthetic", "N_POINTS": 64, "NUM_CATEGORY": 3, "SIZE": 9},
+        {"subset": "test"})
+    state = TrainState(params={"w": jnp.float32(2.0)}, batch_stats={},
+                       opt_state=None, step=0)
+
+    def eval_step(variables, gt, vp):
+        w = variables["params"]["w"]
+        base = jnp.abs(gt).mean() * w + 0.01 * vp.sum()
+        return {"sparse_l1": base, "sparse_l2": base * 2,
+                "dense_l1": base * 3, "dense_l2": base * 4,
+                "F-Score": base * 5, "CDL1": base * 6, "CDL2": base * 7}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        m = validate_detailed(eval_step, state, ds, 0, logger=None)
+    flat = [m.cd]
+    for line in buf.getvalue().splitlines():
+        parts = line.split("\\t")
+        if len(parts) >= 3 and parts[0] not in ("Taxonomy", "Overall"):
+            flat += [float(parts[1])] + [float(v) for v in parts[2:] if v]
+        elif parts[0] == "Overall":
+            flat += [float(v) for v in parts[1:] if v]
+    print("DETAIL_RESULT " + " ".join(f"{v:.8f}" for v in flat))
+""")
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -429,6 +472,49 @@ def test_two_process_pretask_validate_matches_single_process(tmp_path):
 
     m = validate(eval_step, state, loader, 0)
     np.testing.assert_allclose(cd_2p, m.cd, rtol=1e-6)
+
+
+def test_two_process_pretask_detailed_matches_single_process(tmp_path):
+    """runner_pretask.validate_detailed over 2 processes (VERDICT r4 item 6):
+    the sample sweep shards round-robin, gathers per-(sample, viewpoint)
+    rows with padding dedup, and both processes must print the IDENTICAL
+    full-set per-taxonomy table that a single process computes."""
+    import io
+    from contextlib import redirect_stdout
+
+    import jax.numpy as jnp
+
+    flat_2p = _run_two_process(tmp_path, _WORKER_PRETASK_DETAIL,
+                               prefix="DETAIL_RESULT")
+
+    from upp_tpu.data import build_dataset_from_cfg
+    from upp_tpu.train.runner_pretask import validate_detailed
+    from upp_tpu.train.state import TrainState
+
+    ds = build_dataset_from_cfg(
+        {"NAME": "Synthetic", "N_POINTS": 64, "NUM_CATEGORY": 3, "SIZE": 9},
+        {"subset": "test"})
+    state = TrainState(params={"w": jnp.float32(2.0)}, batch_stats={},
+                       opt_state=None, step=0)
+
+    def eval_step(variables, gt, vp):
+        w = variables["params"]["w"]
+        base = jnp.abs(gt).mean() * w + 0.01 * vp.sum()
+        return {"sparse_l1": base, "sparse_l2": base * 2,
+                "dense_l1": base * 3, "dense_l2": base * 4,
+                "F-Score": base * 5, "CDL1": base * 6, "CDL2": base * 7}
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        m = validate_detailed(eval_step, state, ds, 0, logger=None)
+    flat_1p = [m.cd]
+    for line in buf.getvalue().splitlines():
+        parts = line.split("\t")
+        if len(parts) >= 3 and parts[0] not in ("Taxonomy", "Overall"):
+            flat_1p += [float(parts[1])] + [float(v) for v in parts[2:] if v]
+        elif parts[0] == "Overall":
+            flat_1p += [float(v) for v in parts[1:] if v]
+    np.testing.assert_allclose(flat_2p, flat_1p, rtol=1e-5, atol=1e-8)
 
 
 def test_two_process_seg_validate_matches_single_process(tmp_path):

@@ -141,6 +141,22 @@ def test_emd_fused_matches_explicit_match_path():
                                        rtol=1e-4, atol=1e-6)
 
 
+def test_emd_fused_matches_explicit_match_path_bf16():
+    """Both paths promote to f32 internally (ADVICE r4: match_cost used to
+    build d2 in the input dtype), so bf16 inputs must also agree."""
+    a = jnp.asarray(_rand((2, 32, 3), 40)).astype(jnp.bfloat16)
+    b = jnp.asarray(_rand((2, 32, 3), 41)).astype(jnp.bfloat16)
+
+    def explicit(x, y):
+        m = jax.lax.stop_gradient(approx_match(x, y))
+        return match_cost(x, y, m) / x.shape[1]
+
+    fused = earth_mover_distance(a, b, reduce_mean=False)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(explicit(a, b), np.float32),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_emd_close_to_optimal_assignment():
     """approx_match cost is near the true optimal transport cost computed by
     scipy's Hungarian algorithm on equal-size clouds."""

@@ -110,8 +110,10 @@ def test_pretask_runner_smoke(tmp_path):
     assert "TEST RESULTS" in text
     assert "Taxonomy\t#Sample\tF-Score\tCDL1\tCDL2" in text
     assert "Overall" in text
-    # one row per taxonomy with 8 viewpoint updates each
-    assert any(line.startswith("Synthetic\t24\t") for line in records), records
+    # one row per taxonomy with 8 viewpoint updates per sample (3 samples
+    # cycle through cat0..cat2, one each)
+    for tax in ("cat0", "cat1", "cat2"):
+        assert any(line.startswith(f"{tax}\t8\t") for line in records), records
 
 
 def test_seg_runner_smoke(tmp_path):

@@ -73,6 +73,12 @@ class SyntheticDataset:
         self.seed = int(config.get("seed", 0)) + (0 if self.subset == "train" else 10_000)
         self.noise_outliers = int(config.get("NOISE_OUTLIERS", 0))
         self.noise_jitter = float(config.get("NOISE_JITTER", 0.0))
+        # per-index taxonomy metadata, same contract as ShapeNet-55's
+        # file_list: lets process-sharded detailed eval resolve taxonomies
+        # without loading payloads (runner_pretask._dataset_taxonomies)
+        self.file_list = [
+            {"taxonomy_id": f"cat{i % self.num_category}",
+             "model_id": f"sample{i}"} for i in range(self.size)]
 
     def __len__(self):
         return self.size
@@ -91,7 +97,7 @@ class SyntheticDataset:
             d /= np.linalg.norm(d, axis=1, keepdims=True)
             r = rng.uniform(1.05, 1.5, (m, 1)).astype(np.float32)
             pts[-m:] = d * r
-        return "Synthetic", f"sample{index}", (pts, label)
+        return f"cat{label}", f"sample{index}", (pts, label)
 
 
 @DATASETS.register_module("SyntheticPart")

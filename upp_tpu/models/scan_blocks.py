@@ -24,6 +24,7 @@ torch checkpoint shim writes per-block tensors into stack rows.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional, Tuple
 
@@ -35,6 +36,24 @@ from ..ops.propagate import inverse_distance_interp
 from .blocks import PrompterConfig
 
 trunc02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+def _effective_unroll(module_unroll: Optional[int], n: int) -> int:
+    """Resolve the scan unroll factor: ``UPP_SCAN_UNROLL`` env (the sweep /
+    kill-switch knob) overrides the module's configured value; unset or
+    empty falls through to the config (None = full unroll). A set-but-non-
+    integer value is a LOUD error (VERDICT r4 item 7: a typo like
+    ``UPP_SCAN_UNROLL=full`` used to silently fall back to the default —
+    in a knob whose whole purpose is controlled experiments)."""
+    raw = os.environ.get("UPP_SCAN_UNROLL", "")
+    if raw:
+        try:
+            return int(raw)
+        except ValueError:
+            raise ValueError(
+                f"UPP_SCAN_UNROLL={raw!r} is not an integer; set an int "
+                "(1 = rolled lax.scan, >=depth = full unroll) or unset it")
+    return n if module_unroll is None else int(module_unroll)
+
 
 BACKBONE_LEAVES = ("norm1_scale", "norm1_bias", "norm2_scale", "norm2_bias",
                    "attn_qkv_kernel", "attn_proj_kernel", "attn_proj_bias",
@@ -258,12 +277,14 @@ class ScannedEncoderStack(nn.Module):
             # family unroll=4 (via cfg.get("scan_unroll", 4)), MAE-pretrain
             # full (its 2-stack HLO is small and full unroll is its fastest
             # step). BASELINE.md "Compile-time budget" has the table.
-            try:
-                unroll = int(os.environ.get("UPP_SCAN_UNROLL", ""))
-            except ValueError:
-                unroll = int(n) if self.unroll is None else int(self.unroll)
-            x, (ys, stats) = jax.lax.scan(body, x, xs,
-                                          unroll=max(1, min(unroll, int(n))))
+            unroll = max(1, min(_effective_unroll(self.unroll, int(n)),
+                                int(n)))
+            # trace-time (once per compiled shape), so the effective unroll
+            # of every stack is on record for compile/step investigations
+            logging.getLogger("upp_tpu.scan_blocks").info(
+                "trace depth=%d segment=[%d,%d) unroll=%d",
+                self.depth, lo, hi, unroll)
+            x, (ys, stats) = jax.lax.scan(body, x, xs, unroll=unroll)
             if use_prop and stats is not None:
                 stats_updates.append((lo, hi, stats))
             if collect_taps:

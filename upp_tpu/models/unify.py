@@ -67,7 +67,7 @@ class _UnifyCore(nn.Module):
     prompter: PrompterConfig = PrompterConfig()
     if_half: bool = False   # bf16 matmuls in the block stacks (cfg `if_half`)
     remat: bool = False     # remat block bwd (cfg `remat_blocks`)
-    unroll: int = None      # scan unroll (cfg `scan_unroll`; None = full)
+    unroll: Optional[int] = None  # scan unroll (cfg `scan_unroll`; None = full)
 
     @property
     def vis_num(self) -> int:

@@ -77,8 +77,13 @@ def approx_match(xyz1: jnp.ndarray, xyz2: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def match_cost(xyz1: jnp.ndarray, xyz2: jnp.ndarray, match: jnp.ndarray) -> jnp.ndarray:
     """cost[b] = sum_{k,l} ||xyz1_k - xyz2_l||^2 * match[b,l,k]
-    (emd_kernel.cu matchcost, squared distances)."""
-    d2 = square_distance(xyz1, xyz2)                               # [B, n, m]
+    (emd_kernel.cu matchcost, squared distances).
+
+    d2 is computed in f32 regardless of input dtype so the explicit-match
+    path stays bitwise-comparable with the fused scan (:func:`_emd_scan`),
+    which also promotes to f32 before ``square_distance``."""
+    d2 = square_distance(xyz1.astype(jnp.float32),
+                         xyz2.astype(jnp.float32))                 # [B, n, m]
     return jnp.einsum("bnm,bmn->b", d2, match, preferred_element_type=jnp.float32)
 
 

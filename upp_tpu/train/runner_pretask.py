@@ -196,29 +196,82 @@ def validate(eval_step, state, loader, epoch, logger=None, in_detail=False,
     return CDMetric(meters.avg(3))
 
 
+def _dataset_taxonomies(dataset):
+    """Per-index taxonomy ids WITHOUT loading payloads: every shipped
+    completion dataset (ShapeNet-55, Projected_ShapeNet) keeps them in
+    ``file_list`` metadata. Returns None when unavailable (then the sweep
+    cannot be process-sharded and falls back to full-set iteration)."""
+    fl = getattr(dataset, "file_list", None)
+    if fl is None:
+        return None
+    try:
+        return [str(s["taxonomy_id"]) for s in fl]
+    except (TypeError, KeyError):
+        return None
+
+
 def validate_detailed(eval_step, state, dataset, epoch, logger=None) -> CDMetric:
     """Per-sample detailed eval over a dataset of (taxonomy, model_id,
     (points, label)) items: 8 viewpoints x Metrics table per taxonomy +
     Overall row, exactly the reference's TEST RESULTS report
-    (``tools/runner_pretask.py:385-447``)."""
+    (``tools/runner_pretask.py:385-447``).
+
+    Multi-host (VERDICT r4 item 6): the sample sweep is SHARDED round-robin
+    across processes when the dataset exposes per-index taxonomy metadata
+    (``file_list``); per-(sample, viewpoint) metric rows are then gathered
+    with shard-padding dedup-by-index (the runner_seg.validate pattern), so
+    every process prints the identical full-set table instead of each host
+    redundantly sweeping the whole test set at bs 1."""
     meters = AverageMeter(["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"])
-    # detailed eval iterates the FULL dataset on every host (no shard), so
-    # only the host-local placement matters here, not a gather
     variables = host_local_variables(state.variables)
-    category_metrics: dict = {}
-    for i in range(len(dataset)):
+    n_proc, pidx = jax.process_count(), jax.process_index()
+    taxonomies = _dataset_taxonomies(dataset) if n_proc > 1 else None
+    shard = n_proc > 1 and taxonomies is not None
+    indices = list(range(pidx, len(dataset), n_proc)) if shard \
+        else list(range(len(dataset)))
+    cols = ["sparse_l1", "sparse_l2", "dense_l1", "dense_l2"] + Metrics.names()
+
+    local_rows = np.zeros((len(indices), len(VIEWPOINTS_8), len(cols)),
+                          np.float64)
+    local_tax: list = []
+    for k, i in enumerate(indices):
         taxonomy_id, model_id, payload = dataset[i]
+        local_tax.append(str(taxonomy_id))
         gt = jnp.asarray(np.asarray(payload[0], np.float32))[None]
-        for vp in VIEWPOINTS_8:
+        for v, vp in enumerate(VIEWPOINTS_8):
             m = eval_step(variables, gt, jnp.asarray(vp, jnp.float32))
             # CD entries are per-sample [1] vectors here (bs=1 sweep)
-            meters.update([float(np.asarray(m["sparse_l1"]).mean()),
-                           float(np.asarray(m["sparse_l2"]).mean()),
-                           float(np.asarray(m["dense_l1"]).mean()),
-                           float(np.asarray(m["dense_l2"]).mean())])
-            row = [float(np.asarray(m[n]).mean()) for n in Metrics.names()]
+            local_rows[k, v] = [float(np.asarray(m[c]).mean()) for c in cols]
+
+    if shard:
+        from jax.experimental import multihost_utils
+        # pad every shard to the max shard length so process_allgather sees
+        # equal shapes; padding rows carry idx=-1 and are dropped
+        kmax = (len(dataset) + n_proc - 1) // n_proc
+        idx = np.full((kmax,), -1, np.int64)
+        idx[:len(indices)] = indices
+        rows = np.zeros((kmax,) + local_rows.shape[1:], np.float64)
+        rows[:len(indices)] = local_rows
+        g_idx, g_rows = [np.asarray(multihost_utils.process_allgather(
+            jnp.asarray(a))) for a in (idx, rows)]
+        g_idx = g_idx.reshape(-1)
+        g_rows = g_rows.reshape((-1,) + g_rows.shape[2:])
+        keep = np.flatnonzero(g_idx >= 0)
+        order = keep[np.argsort(g_idx[keep], kind="stable")]
+        _, first = np.unique(g_idx[order], return_index=True)
+        order = order[first]
+        all_idx, all_rows = g_idx[order], g_rows[order]
+        all_tax = [taxonomies[i] for i in all_idx]
+    else:
+        all_rows, all_tax = local_rows, local_tax
+
+    category_metrics: dict = {}
+    for tax, sample_rows in zip(all_tax, all_rows):
+        for row in sample_rows:
+            meters.update([float(x) for x in row[:4]])
             category_metrics.setdefault(
-                str(taxonomy_id), AverageMeter(Metrics.names())).update(row)
+                tax, AverageMeter(Metrics.names())).update(
+                    [float(x) for x in row[4:]])
     _print_metrics_table(category_metrics, logger)
     print_log("[Epoch %d] validate dense Chamfer Distance L2: %.5f"
               % (epoch, meters.avg(3)), logger=logger)

@@ -17,7 +17,11 @@ plus the flagship EVAL step (clean FPS 8192→1024 + 12-block forward +
 argmax at bs=120) — validate() runs every epoch, so eval regressions
 cost real wall-clock too.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline",
+"extras"} IMMEDIATELY after the flagship measurement (extras empty) and
+re-prints it cumulatively after each extra completes — every printed line is
+a complete, parseable result and the LAST line is the most complete, so a
+timeout kill at any point after the flagship cannot lose the headline.
 
 vs_baseline: the reference never measured throughput (SURVEY.md §6). The CUDA
 baseline is a DERIVED estimate of the reference step on a single A100-class

@@ -49,11 +49,15 @@ def run_main(argv, tag):
     return r.stdout + r.stderr
 
 
-def latest_ckpt(cfg_stem, name="ckpt-best"):
-    dirs = sorted(glob.glob(os.path.join(
-        REPO, "experiments", cfg_stem, "**", name), recursive=True),
+def latest_ckpt(cfg_stem, name="ckpt-best", exp=None):
+    """Newest checkpoint under experiments/<cfg_stem>; with ``exp``,
+    restricted to that --exp_name's peft-<exp> directory (so the two
+    phase-2 arms can be resolved independently)."""
+    dirs = sorted((d for d in glob.glob(os.path.join(
+        REPO, "experiments", cfg_stem, "**", name), recursive=True)
+        if exp is None or f"peft-{exp}{os.sep}" in d),
         key=os.path.getmtime)
-    assert dirs, f"no {name} under experiments/{cfg_stem}"
+    assert dirs, f"no {name} under experiments/{cfg_stem} (exp={exp})"
     return dirs[-1]
 
 
@@ -63,12 +67,29 @@ def test_oa(blob):
     return float(lines[-1].rsplit("=", 1)[1])
 
 
-def have(cfg_stem, name="ckpt-last"):
-    """Stage cache (UPP_REHEARSE_RESUME=1): reuse an existing stage ckpt."""
+def _cfg_max_epoch(cfg_file):
+    txt = open(os.path.join(REPO, "cfgs", cfg_file)).read()
+    return int(re.search(r"^max_epoch\s*:\s*(\d+)", txt, re.M).group(1))
+
+
+def have(cfg_stem, cfg_file, name="ckpt-last", exp=None):
+    """Stage cache (UPP_REHEARSE_RESUME=1): reuse an existing stage ckpt —
+    but only from a run that TRAINED TO COMPLETION. ckpt-last is saved
+    every epoch, so its mere existence says nothing; the sibling log must
+    show the final `[Training] EPOCH: <max_epoch>` line, else a run killed
+    mid-stage would silently weaken the arms on resume."""
     if os.environ.get("UPP_REHEARSE_RESUME") != "1":
         return False
-    return bool(glob.glob(os.path.join(REPO, "experiments", cfg_stem, "**",
-                                       name), recursive=True))
+    max_epoch = _cfg_max_epoch(cfg_file)
+    for ck in glob.glob(os.path.join(REPO, "experiments", cfg_stem, "**",
+                                     name), recursive=True):
+        if exp is not None and f"peft-{exp}{os.sep}" not in ck:
+            continue
+        for log in glob.glob(os.path.join(os.path.dirname(ck), "*.log")):
+            if re.search(rf"\[Training\] EPOCH: {max_epoch}\b",
+                         open(log).read()):
+                return True
+    return False
 
 
 def main():
@@ -76,14 +97,14 @@ def main():
     # (stands in for the released mae_base ckpt the reference warm-starts
     # from, reference train.sh's implicit prerequisite — and exercises the
     # pretrain→pretask orbax handoff through the CLI)
-    if not have("pretrain_synthetic"):
+    if not have("pretrain_synthetic", "pretrain_synthetic.yaml"):
         run_main(["--config", "cfgs/pretrain_synthetic.yaml",
                   "--exp_name", "rehearsal"], "pretrain")
     backbone = latest_ckpt("pretrain_synthetic", "ckpt-last")
     print(f"[pretrain] backbone ckpt: {backbone}", flush=True)
 
     # ---- phase 1: pretask-train the prompter --------------------------------
-    if not have("pretask_synthetic"):
+    if not have("pretask_synthetic", "pretask_synthetic.yaml"):
         run_main(["--config", "cfgs/pretask_synthetic.yaml",
                   "--ckpts", backbone, "--exp_name", "rehearsal"], "pretask")
     # ckpt-LAST, not ckpt-best: best is selected on the completion branch's
@@ -95,16 +116,22 @@ def main():
     print(f"[pretask] prompter ckpt: {prompter}", flush=True)
 
     # ---- phase 2, arm A: unify PEFT with the trained prompter ---------------
-    run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
-              "--ckpts", prompter, "--exp_name", "rehearsal-trained"], "unify-trained")
-    m_trained = latest_ckpt("unify_synthetic_noisy_cls")
+    if not have("unify_synthetic_noisy_cls", "unify_synthetic_noisy_cls.yaml",
+                exp="rehearsal-trained"):
+        run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
+                  "--ckpts", prompter, "--exp_name", "rehearsal-trained"],
+                 "unify-trained")
+    m_trained = latest_ckpt("unify_synthetic_noisy_cls", exp="rehearsal-trained")
 
     # ---- phase 2, arm B: same recipe + same pretrained backbone, but the
     # prompter stays at random init (loads the stage-0 backbone ckpt, which
     # has no prompter leaves — so the arms differ ONLY by prompter training)
-    run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
-              "--ckpts", backbone, "--exp_name", "rehearsal-random"], "unify-random")
-    m_random = latest_ckpt("unify_synthetic_noisy_cls")
+    if not have("unify_synthetic_noisy_cls", "unify_synthetic_noisy_cls.yaml",
+                exp="rehearsal-random"):
+        run_main(["--peft_model", "--config", "cfgs/unify_synthetic_noisy_cls.yaml",
+                  "--ckpts", backbone, "--exp_name", "rehearsal-random"],
+                 "unify-random")
+    m_random = latest_ckpt("unify_synthetic_noisy_cls", exp="rehearsal-random")
     assert m_random != m_trained
 
     # ---- eval arms -----------------------------------------------------------

@@ -288,14 +288,23 @@ def test_torch_batchnorm_running_stats_semantics():
 
 
 def test_scan_unroll_env_guard(monkeypatch):
-    """UPP_SCAN_UNROLL must be clamped/validated: '0' (natural 'off'
-    spelling), values above the depth, and non-integers all trace fine."""
+    """UPP_SCAN_UNROLL: integer values are clamped to [1, depth] ('0' is the
+    natural 'rolled' spelling, '99' clamps to full), while NON-integer
+    values raise loudly at trace time (VERDICT r4 item 7 — a typo like
+    'full' silently fell back to the default in a controlled-experiment
+    knob)."""
+    import pytest
+
     cfg = small_model_cfg("PointTransformer")
     model = build_model_from_cfg(cfg)
     pts = _pts()
     variables = model.init(RNGS, pts, deterministic=True)
-    for val in ("0", "99", "auto"):
+    for val in ("0", "99"):
         monkeypatch.setenv("UPP_SCAN_UNROLL", val)
         jax.clear_caches()   # the env is read at trace time
         logits = model.apply(variables, pts, deterministic=True)
         assert np.isfinite(np.asarray(logits)).all(), val
+    monkeypatch.setenv("UPP_SCAN_UNROLL", "auto")
+    jax.clear_caches()
+    with pytest.raises(ValueError, match="UPP_SCAN_UNROLL"):
+        model.apply(variables, pts, deterministic=True)

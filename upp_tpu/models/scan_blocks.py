@@ -268,15 +268,17 @@ class ScannedEncoderStack(nn.Module):
             # Unroll policy: every scan iteration is latency-bound at these
             # token counts (~0.7 ms/block vs ~0.1 ms roofline — the fwd+bwd
             # whiles were 20 of the 50 ms MAE-pretrain grad, xprof r4), so
-            # unrolling lets XLA pipeline across blocks. r4 sweep (v5e):
-            # pretrain 65.6 -> 56.3 ms/step with FULL unroll;
+            # unrolling lets XLA pipeline across blocks. Step times (v5e,
+            # r4 sweep): pretrain 65.6 -> 56.3 ms/step with FULL unroll;
             # flagship/pretask/seg step-neutral between unroll 4 and full.
-            # COLD COMPILE is the tie-breaker (flagship, measured same-day):
-            # rolled 595 s, unroll=4 123 s, full >400 s — the rolled while
-            # is the SLOWEST to compile, not the fastest. Defaults: unify
-            # family unroll=4 (via cfg.get("scan_unroll", 4)), MAE-pretrain
-            # full (its 2-stack HLO is small and full unroll is its fastest
-            # step). BASELINE.md "Compile-time budget" has the table.
+            # Cold compile (r5, controlled: fresh process, cache disabled,
+            # BASELINE.md "Compile-time budget"): flagship rolled 132 s /
+            # unroll=4 429 s / full 131 s; seg rolled 122 s / unroll=4 560 s.
+            # PARTIAL unroll (4) is the XLA pathology — ~3-4x slower to
+            # compile than either extreme — so every stack now defaults to
+            # FULL unroll (None), the fastest-or-tied choice on both axes.
+            # (r4's in-code claim that rolled compiled slowest came from
+            # uncontrolled measurements confounded by cache state.)
             unroll = max(1, min(_effective_unroll(self.unroll, int(n)),
                                 int(n)))
             # trace-time (once per compiled shape), so the effective unroll

@@ -178,7 +178,7 @@ class PointMAEUnify(nn.Module):
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
             remat=bool(cfg.get("remat_blocks", False)),
-            unroll=cfg.get("scan_unroll", 4))
+            unroll=cfg.get("scan_unroll", None))
         self.cls_token = self.param("cls_token", trunc_normal_init,
                                     (1, 1, tc.trans_dim))
         self.cls_pos = self.param("cls_pos", trunc_normal_init,
@@ -253,7 +253,7 @@ class PointMAEPretask(nn.Module):
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
             remat=bool(cfg.get("remat_blocks", False)),
-            unroll=cfg.get("scan_unroll", 4))
+            unroll=cfg.get("scan_unroll", None))
 
     def __call__(self, pts, *, point_num: int = 2048,
                  train_with_gaussian: bool = True, deterministic: bool = True):

@@ -121,7 +121,7 @@ class PointMAEUnifySeg(nn.Module):
             prompter=PrompterConfig.from_cfg(cfg.prompter_config),
             if_half=bool(cfg.get("if_half", False)),
             remat=bool(cfg.get("remat_blocks", False)),
-            unroll=cfg.get("scan_unroll", 4))
+            unroll=cfg.get("scan_unroll", None))
         self.num_group = cfg.num_group
         self.group_size = cfg.group_size
         self.label_conv = LabelConv()
@@ -192,7 +192,7 @@ class PointTransformerSeg(nn.Module):
         self.blocks = ScannedEncoderStack(
             embed_dim=cfg.trans_dim, depth=cfg.depth, num_heads=cfg.num_heads,
             drop_path_rate=cfg.drop_path_rate,
-            unroll=cfg.get("scan_unroll", 4))
+            unroll=cfg.get("scan_unroll", None))
         self.label_conv = LabelConv()
         self.propagation_0 = PointNetFeaturePropagation(
             mlp=(384 * 4, 1024), interpolate_neighbors=5)

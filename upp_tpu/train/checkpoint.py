@@ -19,11 +19,17 @@ import numpy as np
 from ..utils.logger import print_log
 from .state import TrainState
 
-# one in-flight async save per checkpoint path (joined before overwrite /
-# restore / interpreter exit); each entry carries the writer thread plus a
-# one-slot error box so a failed background write surfaces on join instead of
-# dying silently with the thread
+# one writer chain per checkpoint path; each entry carries the writer thread
+# plus an error box so a failed background write surfaces on join instead of
+# dying silently with the thread. A save issued while the path's writer is
+# still busy does NOT block the training thread: it lands in _QUEUED
+# (latest-wins — superseded snapshots are dropped, exactly what ckpt-last
+# overwrite semantics mean) and the live writer picks it up when the current
+# write finishes. Without this, per-epoch ckpt-last saves serialize the
+# training loop at one device→host fetch per epoch (~30 s on the tunnel for
+# 2-4 s synthetic epochs, observed in the round-5 rehearsal).
 _PENDING: Dict[str, Tuple[threading.Thread, list]] = {}
+_QUEUED: Dict[str, Any] = {}   # path -> newest not-yet-started write closure
 _PENDING_LOCK = threading.Lock()
 
 
@@ -124,17 +130,55 @@ def save_checkpoint(state: TrainState, epoch: int, prefix: str,
                       logger=logger)
             raise
 
-    with _PENDING_LOCK:
-        prev = _PENDING.pop(path, None)
-    if prev is not None:
-        _join_writer(*prev, path)   # never two writers on the same path
     if block:
-        write()
-    else:
-        t = threading.Thread(target=write, daemon=False)
-        t.start()
+        # synchronous write: drain this path's chain first (never two
+        # writers on one path; a queued older snapshot is superseded by
+        # the state we are about to write, so it is dropped)
         with _PENDING_LOCK:
-            _PENDING[path] = (t, err_box)
+            prev = _PENDING.pop(path, None)
+            _QUEUED.pop(path, None)
+        if prev is not None:
+            _join_writer(*prev, path)
+        write()
+        print_log(f"Save checkpoint at {path}", logger=logger)
+        return
+
+    with _PENDING_LOCK:
+        if path in _PENDING:
+            # writer chain busy on this path: coalesce — replace any
+            # queued snapshot with this newer one and return immediately
+            # (device-side snapshots are cheap; the fetch happens on the
+            # writer thread when it picks this up). Errors are routed into
+            # the CHAIN's error box so they surface on the next join.
+            chain_box = _PENDING[path][1]
+
+            def queued_write(w=write, box=chain_box):
+                try:
+                    w()
+                except BaseException as e:
+                    box.append(e)
+
+            _QUEUED[path] = queued_write
+        else:
+            chain_box = err_box
+
+            def chain_loop(first=write):
+                w = first
+                while True:
+                    try:
+                        w()
+                    except BaseException:
+                        pass  # already recorded in chain_box by write()
+                    with _PENDING_LOCK:
+                        nxt = _QUEUED.pop(path, None)
+                        if nxt is None:
+                            _PENDING.pop(path, None)
+                            return
+                    w = nxt
+
+            t = threading.Thread(target=chain_loop, daemon=False)
+            _PENDING[path] = (t, chain_box)
+            t.start()
     print_log(f"Save checkpoint at {path}", logger=logger)
 
 

@@ -206,6 +206,71 @@ def test_export_cli_script(trip, tmp_path):
                                    rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+SEG_MODEL = {
+    "NAME": "Point_MAE_unify_seg",
+    "transformer_config": {
+        "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 384,
+        "encoder_dims": 384, "depth": 12, "drop_path_rate": 0.1,
+        "num_heads": 6, "decoder_depth": 4, "decoder_num_heads": 6},
+    "trans_dim": 384, "depth": 12, "drop_path_rate": 0.1, "if_half": False,
+    "cls_dim": 50, "num_heads": 6, "group_size": 32, "num_group": 128,
+    "encoder_dims": 384,
+    "adapter_config": {"adapter_dim": 16, "adapter_drop_path_rate": 0.1},
+    "prompter_config": {
+        "rectify_adapter": True, "rectify_prompts": True,
+        "rectify_prompts_num": 3, "rectify_prompts_depth": 3,
+        "rectify_depth": 3,
+        "pretask_adapter": True, "pretask_prompts": True,
+        "pretask_prompts_num": 3, "pretask_prompts_depth": 6,
+        "pretask_depth": 6,
+        "downstream_adapter": True, "downstream_prompts": True,
+        "downstream_prompts_num": 1, "downstream_prompts_depth": 6,
+        "downstream_depth": 12},
+    "gather_idx": True, "prompt_propagation_after": False,
+}
+
+
+def test_seg_export_roundtrip(tmp_path):
+    """Point_MAE_unify_seg: the seg-only key families (label_conv,
+    propagation_0, seg_head) export tensor-exact and strict-load back."""
+    from ref_torch import load_reference_seg
+
+    ns = load_reference_seg()
+    torch.manual_seed(0)
+    tm = ns["Point_MAE_unify_seg"](RefCfg(SEG_MODEL)).eval()
+    _randomize(tm, seed=31)
+
+    path = str(tmp_path / "seg.pth")
+    torch.save({"base_model": tm.state_dict()}, path)
+    fm = build_model_from_cfg(ConfigDict.from_nested(SEG_MODEL))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2)}
+    P_in, N_full = 1624, 2048
+    variables = dict(fm.init(rngs, jnp.zeros((2, P_in, 3), jnp.float32),
+                             jnp.zeros((2, 16), jnp.float32),
+                             jnp.zeros((2, N_full, 3), jnp.float32),
+                             completion_prompt=True, denoise=True,
+                             point_num=P_in, deterministic=True))
+    variables.setdefault("batch_stats", {})
+    loaded, missing, unexpected = load_into_variables(
+        variables, load_torch_state_dict(path))
+    assert not missing and not unexpected
+
+    state, report = export_torch_state_dict(loaded, tm)
+    assert report["missing"] == [], report["missing"][:10]
+    sd = tm.state_dict()
+    synth = set(report["synthesized"])
+    for fam in ("label_conv", "propagation_0", "seg_head"):
+        keys = [k for k in sd if k.startswith(fam) and k not in synth]
+        assert keys, f"no exported keys for {fam}"
+        for k in keys:
+            np.testing.assert_allclose(state[k], sd[k].detach().numpy(),
+                                       rtol=1e-6, atol=1e-7, err_msg=k)
+    tm2 = ns["Point_MAE_unify_seg"](RefCfg(SEG_MODEL)).eval()
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in state.items()}, strict=True)
+
+
 def test_shape_manifest_template(trip):
     """A bare {key: shape} manifest works as the template (no torch model
     needed at export time)."""

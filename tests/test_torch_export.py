@@ -271,6 +271,49 @@ def test_seg_export_roundtrip(tmp_path):
                          for k, v in state.items()}, strict=True)
 
 
+def test_mae_pretrain_export_roundtrip(tmp_path):
+    """Vanilla Point_MAE (pretraining family): increase_dim + MAE decoder
+    naming export tensor-exact and strict-load back (warm-start handoff of
+    a framework-pretrained backbone to reference finetuning)."""
+    from ref_torch import load_reference_mae
+
+    cfg = {"NAME": "Point_MAE", "group_size": 8, "num_group": 16,
+           "loss": "cdl2",
+           "transformer_config": {
+               "mask_ratio": 0.5, "mask_type": "rand", "trans_dim": 48,
+               "encoder_dims": 48, "depth": 2, "drop_path_rate": 0.0,
+               "num_heads": 4, "decoder_depth": 2, "decoder_num_heads": 4}}
+    ns = load_reference_mae()
+    torch.manual_seed(0)
+    tm = ns["Point_MAE"](RefCfg(cfg)).eval()
+    _randomize(tm, seed=41)
+
+    path = str(tmp_path / "mae.pth")
+    torch.save({"base_model": tm.state_dict()}, path)
+    fm = build_model_from_cfg(ConfigDict.from_nested(cfg))
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1),
+            "droppath": jax.random.key(2), "mask": jax.random.key(3)}
+    variables = dict(fm.init(rngs, jnp.zeros((2, 128, 3), jnp.float32),
+                             deterministic=False))
+    variables.setdefault("batch_stats", {})
+    loaded, missing, unexpected = load_into_variables(
+        variables, load_torch_state_dict(path))
+    assert not missing and not unexpected, (missing[:5], unexpected[:5])
+
+    state, report = export_torch_state_dict(loaded, tm)
+    assert report["missing"] == [], report["missing"][:10]
+    sd = tm.state_dict()
+    synth = set(report["synthesized"])
+    for k, v in sd.items():
+        if k in synth:
+            continue
+        np.testing.assert_allclose(state[k], v.detach().numpy(),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    tm2 = ns["Point_MAE"](RefCfg(cfg)).eval()
+    tm2.load_state_dict({k: torch.from_numpy(np.ascontiguousarray(v))
+                         for k, v in state.items()}, strict=True)
+
+
 def test_shape_manifest_template(trip):
     """A bare {key: shape} manifest works as the template (no torch model
     needed at export time)."""

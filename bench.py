@@ -45,6 +45,20 @@ import sys
 import time
 import types
 
+# Env-drift guard: if this interpreter lacks jax (e.g. the venv fell off
+# PATH and bare `python` resolved to the system interpreter), re-exec into
+# the known-good venv python so the driver's `python bench.py` still works.
+try:
+    import jax  # noqa: F401
+except ImportError:
+    _venv_py = os.environ.get("UPP_BENCH_PYTHON", "/opt/venv/bin/python")
+    # NB: compare sys.prefix, not executable realpaths — a venv python is a
+    # symlink to the base interpreter and only activates via its own path.
+    _venv_prefix = os.path.dirname(os.path.dirname(_venv_py))
+    if os.path.exists(_venv_py) and os.path.realpath(sys.prefix) != os.path.realpath(_venv_prefix):
+        os.execv(_venv_py, [_venv_py] + sys.argv)
+    raise
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -84,3 +84,23 @@ def test_clean_run_last_line_has_all_extras():
         "pretask_train_clouds_per_sec_per_chip",
         "seg_train_clouds_per_sec_per_chip"]
     assert first["value"] == last["value"] == 1234.5
+
+
+def test_jaxless_interpreter_reexecs_into_venv():
+    """Env-drift guard: `python bench.py` from an interpreter WITHOUT jax
+    re-execs into the venv python (bench.py top-of-file guard) instead of
+    dying on ImportError — protects the driver's `python bench.py` contract
+    against a PATH that lost the venv."""
+    base_py = "/usr/local/bin/python3"
+    venv_py = "/opt/venv/bin/python"
+    if not (os.path.exists(base_py) and os.path.exists(venv_py)):
+        pytest.skip("container layout not present")
+    probe = subprocess.run([base_py, "-c", "import jax"], capture_output=True)
+    if probe.returncode == 0:
+        pytest.skip("base interpreter has jax; guard not exercisable")
+    env = dict(FAKE_ENV, UPP_BENCH_FAKE_SLEEP="0")
+    proc = subprocess.run([base_py, BENCH], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert json_lines and json.loads(json_lines[0])["value"] == 1234.5

@@ -104,3 +104,20 @@ def test_jaxless_interpreter_reexecs_into_venv():
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     assert json_lines and json.loads(json_lines[0])["value"] == 1234.5
+
+
+def test_graft_entry_importable_from_jaxless_interpreter():
+    """__graft_entry__'s sys.path fallback: importable (and jax resolvable)
+    from the base interpreter that lacks the venv on its path."""
+    base_py = "/usr/local/bin/python3"
+    if not os.path.exists(base_py):
+        pytest.skip("container layout not present")
+    probe = subprocess.run([base_py, "-c", "import jax"], capture_output=True)
+    if probe.returncode == 0:
+        pytest.skip("base interpreter has jax; guard not exercisable")
+    code = ("import sys; sys.path.insert(0, %r); "
+            "import __graft_entry__; import jax; print('GUARD_OK')" % REPO)
+    proc = subprocess.run([base_py, "-c", code], capture_output=True,
+                          text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "GUARD_OK" in proc.stdout

@@ -9,7 +9,25 @@
 Dispatch mirrors ``/root/reference/main.py:75-103``: config.task ×
 (--finetune_model | --peft_model | --test)."""
 
+import glob
 import os
+import sys
+
+# Env-drift guard (see __graft_entry__.py): self-heal a jax-less interpreter
+# by grafting the venv site-packages + re-running the axon registration.
+try:
+    import jax  # noqa: F401
+except ImportError:
+    _venv = os.environ.get("VIRTUAL_ENV", "/opt/venv")
+    for _sp in glob.glob(os.path.join(_venv, "lib", "python3.*", "site-packages")):
+        if _sp not in sys.path:
+            sys.path.append(_sp)
+    sys.modules.pop("sitecustomize", None)
+    try:
+        import sitecustomize  # noqa: F401
+    except Exception:
+        pass
+    import jax  # noqa: F401
 
 
 def main():

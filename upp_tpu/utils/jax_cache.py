@@ -15,7 +15,15 @@ first start in seconds. One helper so the CLI (`main.py`), the driver entry
 import os
 
 
-def enable_compile_cache(default_dir: str = "/tmp/upp_jax_cache") -> None:
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Default lives INSIDE the repo (gitignored), not /tmp: the repo survives
+# container restarts while /tmp does not — a wiped /tmp cost a session a
+# fully cold ~17-min bench (BASELINE.md "Compile-time budget").
+_DEFAULT_DIR = os.path.join(_REPO_ROOT, ".jax_cache")
+
+
+def enable_compile_cache(default_dir: str = _DEFAULT_DIR) -> None:
     if os.environ.get("UPP_NO_COMPILE_CACHE"):
         return
     cache_dir = (os.environ.get("UPP_JAX_CACHE_DIR")
